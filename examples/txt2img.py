@@ -1,0 +1,106 @@
+"""Text-to-image CLI (TPU-native counterpart of reference example/sd1.py).
+
+Runs the full pipeline: tokenize -> CLIP (cond + uncond) -> jitted DDIM
+scan over the UNet -> VAE decode -> PNG. Unlike the reference, the parsed
+args are actually used (reference example/sd1.py:39 overwrites them), and
+there is no per-step host sync — the whole sampling loop is one XLA
+program.
+
+Weights: --ckpt loads an SD1.x checkpoint (torch-zip .ckpt or
+.safetensors); without it, seeded random weights are used (produces
+colored noise — useful for smoke/perf runs where no checkpoint is
+available).
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser(description="tinyfusers-tpu text-to-image")
+    p.add_argument("--prompt", default="a horse sized cat eating a bagel")
+    p.add_argument("--negative-prompt", default="")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--guidance", type=float, default=7.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default="rendered.png")
+    p.add_argument("--ckpt", default=None, help="SD1.x .ckpt or .safetensors")
+    p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15",
+                   help="tiny = toy config for smoke tests (CPU-friendly)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none",
+                   help="weight-only quantization for UNet+VAE")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--timing", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tinyfusers_tpu.pipeline import sd
+    from tinyfusers_tpu.tokenizer import bpe
+
+    cfg = sd.SD15 if args.preset == "sd15" else sd.TINY
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    t0 = time.monotonic()
+    if args.ckpt:
+        from tinyfusers_tpu.io import checkpoints
+        params = checkpoints.load_sd_params(args.ckpt, cfg, dtype=dtype)
+    else:
+        print("no --ckpt given: using seeded random weights (noise output)")
+        params = sd.init(jax.random.key(0), cfg, dtype=dtype)
+    if args.quant != "none":
+        from tinyfusers_tpu.ops.quant import quantize
+        from tinyfusers_tpu.io.quantize_tree import quantize_params
+        qdtype = jnp.int8 if args.quant == "int8" else jnp.float8_e4m3fn
+        params["unet"] = quantize_params(params["unet"], qdtype)
+    print(f"params ready in {time.monotonic()-t0:.1f}s")
+
+    tok = bpe.ClipTokenizer.load_default()
+    ids = jnp.array([tok.encode(args.prompt)] * args.batch, jnp.int32)
+    uids = jnp.array([tok.encode(args.negative_prompt)] * args.batch, jnp.int32)
+    if cfg.clip.max_length != ids.shape[1]:
+        ids = ids[:, : cfg.clip.max_length]
+        uids = uids[:, : cfg.clip.max_length]
+
+    latent = sd.initial_latent(jax.random.key(args.seed), args.batch, cfg, dtype)
+
+    t0 = time.monotonic()
+    img = sd.generate(params, ids, uids, latent, jnp.float32(args.guidance),
+                      num_steps=args.steps, cfg=cfg)
+    jax.block_until_ready(img)
+    compile_and_run = time.monotonic() - t0
+    if args.timing:
+        t0 = time.monotonic()
+        img = sd.generate(params, ids, uids, latent, jnp.float32(args.guidance),
+                          num_steps=args.steps, cfg=cfg)
+        jax.block_until_ready(img)
+        steady = time.monotonic() - t0
+        print(f"first call (incl. compile): {compile_and_run:.2f}s; "
+              f"steady-state: {steady:.2f}s "
+              f"({args.steps / steady:.2f} steps/s, "
+              f"{args.batch / steady:.3f} images/s)")
+    else:
+        print(f"generated in {compile_and_run:.2f}s (incl. compile)")
+
+    import numpy as np
+    arr = np.asarray(img[0])
+    try:
+        from PIL import Image
+        Image.fromarray(arr).save(args.out)
+    except ImportError:
+        # PNG writer-free fallback: save raw npy next to the requested path.
+        np.save(args.out + ".npy", arr)
+        print("PIL unavailable; wrote raw array instead")
+    print(f"saved {args.out} ({arr.shape[0]}x{arr.shape[1]})")
+
+
+if __name__ == "__main__":
+    main()

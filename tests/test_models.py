@@ -1,0 +1,149 @@
+"""Model-level tests: topology parity with the reference's hard-coded SD1.x
+table, shape correctness, and end-to-end pipeline determinism."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyfusers_tpu.models import clip, unet, vae
+from tinyfusers_tpu.pipeline import ddim, sd
+
+
+class TestUNetTopology:
+    def test_sd15_plan_matches_reference_table(self):
+        """Generated plan must reproduce reference vision/unet.py:11-49."""
+        inp, mid, outp = unet.build_plan(unet.SD15_CONFIG)
+        assert len(inp) == 12 and len(outp) == 12
+
+        def res(block):
+            return [s for s in block if isinstance(s, unet.ResSpec)]
+
+        def attn(block):
+            return [s for s in block if isinstance(s, unet.AttnSpec)]
+
+        # input blocks: channels per the reference table
+        assert inp[0] == ["conv_in"]
+        expect_in = [
+            (320, 320, True), (320, 320, True), None,  # None = downsample
+            (320, 640, True), (640, 640, True), None,
+            (640, 1280, True), (1280, 1280, True), None,
+            (1280, 1280, False), (1280, 1280, False),
+        ]
+        for block, want in zip(inp[1:], expect_in):
+            if want is None:
+                assert isinstance(block[0], unet.SampleSpec) and block[0].mode == "down"
+            else:
+                cin, cout, has_attn = want
+                r = res(block)[0]
+                assert (r.in_ch, r.out_ch) == (cin, cout)
+                assert bool(attn(block)) == has_attn
+
+        # middle: res, attn, res at 1280
+        assert [type(s) for s in mid] == [unet.ResSpec, unet.AttnSpec, unet.ResSpec]
+        assert mid[0].in_ch == 1280
+
+        # output blocks: reference vision/unet.py:31-44 concat channels
+        expect_out = [
+            (2560, 1280, False), (2560, 1280, False), (2560, 1280, False),
+            (2560, 1280, True), (2560, 1280, True), (1920, 1280, True),
+            (1920, 640, True), (1280, 640, True), (960, 640, True),
+            (960, 320, True), (640, 320, True), (640, 320, True),
+        ]
+        ups = 0
+        for block, (cin, cout, has_attn) in zip(outp, expect_out):
+            r = res(block)[0]
+            assert (r.in_ch, r.out_ch) == (cin, cout), (r, cin, cout)
+            assert bool(attn(block)) == has_attn
+            ups += sum(1 for s in block if isinstance(s, unet.SampleSpec))
+        assert ups == 3
+
+    def test_timestep_embedding_matches_reference_layout(self):
+        """cos-first-then-sin halves (reference vision/unet.py:92-97)."""
+        emb = unet.timestep_embedding(jnp.array([0.0]), 8)
+        np.testing.assert_allclose(np.asarray(emb[0, :4]), np.ones(4), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 4:]), np.zeros(4), atol=1e-6)
+
+
+class TestShapes:
+    def test_tiny_unet_forward(self):
+        cfg = unet.TINY_CONFIG
+        params = unet.init(jax.random.key(0), cfg)
+        x = jnp.ones((2, 16, 16, 4))
+        t = jnp.ones((2,))
+        ctx = jnp.ones((2, 8, cfg.context_dim))
+        y = unet.apply(params, x, t, ctx, cfg)
+        assert y.shape == (2, 16, 16, 4)
+        assert bool(jnp.all(jnp.isfinite(y)))
+
+    def test_clip_forward(self):
+        cfg = clip.CLIPConfig(vocab_size=100, max_length=16, dim=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+        params = clip.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((2, 16), jnp.int32)
+        y = clip.apply(params, ids, cfg)
+        assert y.shape == (2, 16, 32)
+
+    def test_clip_causal_masking(self):
+        """Changing a later token must not affect earlier positions."""
+        cfg = clip.CLIPConfig(vocab_size=100, max_length=8, dim=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+        params = clip.init(jax.random.key(0), cfg)
+        a = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+        b = a.at[0, 5].set(50)
+        ya = clip.apply(params, a, cfg)
+        yb = clip.apply(params, b, cfg)
+        np.testing.assert_allclose(np.asarray(ya[0, :5]), np.asarray(yb[0, :5]),
+                                   atol=1e-5, rtol=1e-5)
+        assert not np.allclose(np.asarray(ya[0, 5]), np.asarray(yb[0, 5]))
+
+    def test_tiny_vae_roundtrip_shapes(self):
+        cfg = vae.TINY_VAE_CONFIG
+        params = vae.init(jax.random.key(0), cfg)
+        img = jnp.ones((1, 32, 32, 3))
+        z = vae.encode(params, img, cfg)
+        assert z.shape == (1, 16, 16, 4)
+        out = vae.decode(params, z, cfg)
+        assert out.shape == (1, 32, 32, 3)
+
+
+class TestDDIM:
+    def test_alphas_cumprod_schedule(self):
+        acp = np.asarray(ddim.alphas_cumprod())
+        assert acp.shape == (1000,)
+        # monotone decreasing, endpoint values of the SD schedule
+        assert np.all(np.diff(acp) < 0)
+        np.testing.assert_allclose(acp[0], 1 - 0.00085, rtol=1e-5)
+        assert acp[-1] < 0.01
+
+    def test_ddim_step_identity_at_no_noise(self):
+        """With a_t = a_prev = 1 the update returns x (e_t ignored)."""
+        x = jnp.ones((1, 4, 4, 2))
+        e = jnp.full((1, 4, 4, 2), 3.0)
+        y = ddim.ddim_step(x, e, jnp.float32(1.0), jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_timestep_ladder(self):
+        ts = np.asarray(ddim.ddim_timesteps(20))
+        assert list(ts) == list(range(1, 1000, 50))
+
+
+class TestPipeline:
+    def test_generate_deterministic(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        img1 = sd.generate(params, ids, ids, lat, jnp.float32(7.5), num_steps=2, cfg=cfg)
+        img2 = sd.generate(params, ids, ids, lat, jnp.float32(7.5), num_steps=2, cfg=cfg)
+        assert img1.shape == (1, 32, 32, 3) and img1.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+    def test_guidance_changes_output_without_recompile(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        i1 = sd.generate(params, ids, uids, lat, jnp.float32(1.0), num_steps=2, cfg=cfg)
+        i2 = sd.generate(params, ids, uids, lat, jnp.float32(9.0), num_steps=2, cfg=cfg)
+        assert not np.array_equal(np.asarray(i1), np.asarray(i2))

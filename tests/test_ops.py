@@ -1,0 +1,185 @@
+"""Differential tests for the ops layer vs torch CPU oracles.
+
+Same strategy as the reference's tests (torch as primary oracle,
+SURVEY.md §4) but hermetic, seed-fixed, and far tighter tolerances —
+fp32 on CPU should agree to ~1e-5, not the reference's 1e-2.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from tinyfusers_tpu import ops
+
+RNG = np.random.default_rng(0)
+
+
+def rand(*shape, scale=1.0):
+    return (RNG.standard_normal(shape) * scale).astype(np.float32)
+
+
+def assert_close(got, want, atol=1e-5, rtol=1e-5):
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol, rtol=rtol)
+
+
+class TestActivations:
+    def test_silu(self):
+        x = rand(4, 33)
+        assert_close(ops.silu(jnp.array(x)), F.silu(torch.tensor(x)).numpy())
+
+    def test_gelu_tanh(self):
+        x = rand(4, 33)
+        assert_close(
+            ops.gelu_tanh(jnp.array(x)),
+            F.gelu(torch.tensor(x), approximate="tanh").numpy(),
+            atol=1e-4,
+        )
+
+    def test_quick_gelu(self):
+        x = rand(4, 33)
+        want = torch.tensor(x) * torch.sigmoid(1.702 * torch.tensor(x))
+        assert_close(ops.quick_gelu(jnp.array(x)), want.numpy())
+
+
+class TestLinear:
+    @pytest.mark.parametrize("bias", [True, False])
+    def test_matches_torch(self, bias):
+        x, w = rand(3, 77, 64), rand(48, 64)  # torch weight is (out, in)
+        b = rand(48) if bias else None
+        want = F.linear(
+            torch.tensor(x), torch.tensor(w), torch.tensor(b) if bias else None
+        ).numpy()
+        got = ops.linear(
+            jnp.array(x), jnp.array(w.T), jnp.array(b) if bias else None
+        )
+        assert_close(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_quantized_close_to_dense(self):
+        x, w = rand(5, 256), rand(256, 128)
+        qw = ops.quantize(jnp.array(w), jnp.int8, axis=-1)
+        dense = ops.linear(jnp.array(x), jnp.array(w))
+        quant = ops.linear(jnp.array(x), qw)
+        # int8 per-channel weight-only: ~1% relative error bar.
+        err = np.abs(np.asarray(quant) - np.asarray(dense)).max()
+        ref = np.abs(np.asarray(dense)).max()
+        assert err / ref < 0.02
+
+    def test_quantize_roundtrip_exact_for_grid_values(self):
+        w = jnp.array([[0.0, 64.0], [-127.0, 127.0]], dtype=jnp.float32)
+        qw = ops.quantize(w, jnp.int8, axis=-1)
+        assert_close(qw.dequantize(), w, atol=1e-5)
+
+
+class TestNorms:
+    @pytest.mark.parametrize("dim", [768, 1280])
+    def test_layer_norm(self, dim):
+        x, w, b = rand(2, 77, dim), rand(dim), rand(dim)
+        want = F.layer_norm(
+            torch.tensor(x), (dim,), torch.tensor(w), torch.tensor(b)
+        ).numpy()
+        got = ops.layer_norm(jnp.array(x), jnp.array(w), jnp.array(b))
+        assert_close(got, want, atol=1e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("c,groups", [(320, 32), (64, 32), (512, 32)])
+    def test_group_norm(self, c, groups):
+        # torch is NCHW; ours is NHWC.
+        x_nchw = rand(2, c, 6, 5)
+        w, b = rand(c), rand(c)
+        want = F.group_norm(
+            torch.tensor(x_nchw), groups, torch.tensor(w), torch.tensor(b)
+        ).numpy()
+        got = ops.group_norm(
+            jnp.array(x_nchw.transpose(0, 2, 3, 1)), groups, jnp.array(w), jnp.array(b)
+        )
+        assert_close(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4, rtol=1e-3)
+
+
+class TestConv2d:
+    @pytest.mark.parametrize(
+        "cin,cout,k,stride,padding",
+        [
+            (3, 16, 3, 1, 1),
+            (16, 16, 3, 2, 1),
+            (8, 4, 1, 1, 0),
+        ],
+    )
+    def test_matches_torch(self, cin, cout, k, stride, padding):
+        x_nchw = rand(2, cin, 9, 8)
+        w_oihw = rand(cout, cin, k, k, scale=0.2)
+        b = rand(cout)
+        want = F.conv2d(
+            torch.tensor(x_nchw), torch.tensor(w_oihw), torch.tensor(b),
+            stride=stride, padding=padding,
+        ).numpy()
+        got = ops.conv2d(
+            jnp.array(x_nchw.transpose(0, 2, 3, 1)),
+            jnp.array(w_oihw.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
+            jnp.array(b),
+            stride=stride, padding=padding,
+        )
+        assert_close(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4, rtol=1e-3)
+
+    def test_asymmetric_padding(self):
+        """VAE encoder downsample: pad [0,1,0,1] stride 2 (SURVEY §2.3)."""
+        x_nchw = rand(1, 4, 8, 8)
+        w_oihw = rand(4, 4, 3, 3, scale=0.2)
+        want = F.conv2d(
+            F.pad(torch.tensor(x_nchw), (0, 1, 0, 1)),  # torch pad: (w_l, w_r, h_t, h_b)
+            torch.tensor(w_oihw), stride=2,
+        ).numpy()
+        got = ops.conv2d(
+            jnp.array(x_nchw.transpose(0, 2, 3, 1)),
+            jnp.array(w_oihw.transpose(2, 3, 1, 0)),
+            stride=2, padding=(0, 1, 0, 1),
+        )
+        assert_close(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4, rtol=1e-3)
+
+    def test_upsample_nearest_2x(self):
+        x_nchw = rand(1, 3, 4, 4)
+        want = F.interpolate(torch.tensor(x_nchw), scale_factor=2, mode="nearest").numpy()
+        got = ops.upsample_nearest_2x(jnp.array(x_nchw.transpose(0, 2, 3, 1)))
+        assert_close(np.asarray(got).transpose(0, 3, 1, 2), want)
+
+
+class TestEmbedding:
+    def test_matches_torch(self):
+        w = rand(100, 16)
+        ids = RNG.integers(0, 100, size=(2, 7))
+        want = F.embedding(torch.tensor(ids), torch.tensor(w)).numpy()
+        got = ops.embedding(jnp.array(ids), jnp.array(w))
+        assert_close(got, want)
+
+
+class TestSDPA:
+    @pytest.mark.parametrize("sq,sk", [(77, 77), (256, 77), (130, 130)])
+    def test_matches_torch(self, sq, sk):
+        q, k, v = rand(2, 4, sq, 32), rand(2, 4, sk, 32), rand(2, 4, sk, 32)
+        want = F.scaled_dot_product_attention(
+            torch.tensor(q), torch.tensor(k), torch.tensor(v)
+        ).numpy()
+        got = ops.sdpa_xla(jnp.array(q), jnp.array(k), jnp.array(v))
+        assert_close(got, want, atol=1e-4, rtol=1e-3)
+
+    def test_additive_mask(self):
+        """CLIP-style causal mask: additive -inf upper triangle."""
+        q = rand(1, 12, 77, 64)
+        mask = np.triu(np.full((1, 1, 77, 77), -np.inf, np.float32), k=1)
+        mask[np.isneginf(mask)] = -1e9  # torch SDPA dislikes full -inf rows? keep finite
+        want = F.scaled_dot_product_attention(
+            torch.tensor(q), torch.tensor(q), torch.tensor(q),
+            attn_mask=torch.tensor(mask),
+        ).numpy()
+        got = ops.sdpa_xla(jnp.array(q), jnp.array(q), jnp.array(q), jnp.array(mask))
+        assert_close(got, want, atol=1e-4, rtol=1e-3)
+
+    def test_boolean_mask(self):
+        q = rand(1, 2, 16, 8)
+        keep = np.tril(np.ones((16, 16), bool))
+        want = F.scaled_dot_product_attention(
+            torch.tensor(q), torch.tensor(q), torch.tensor(q),
+            attn_mask=torch.tensor(keep),
+        ).numpy()
+        got = ops.sdpa_xla(jnp.array(q), jnp.array(q), jnp.array(q), jnp.array(keep))
+        assert_close(got, want, atol=1e-4, rtol=1e-3)

@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+The key invariant: TP+DP sharded execution computes the same numbers as
+single-device execution (GSPMD inserts collectives; results must agree)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tinyfusers_tpu import parallel
+from tinyfusers_tpu.models import unet
+from tinyfusers_tpu.pipeline import sd
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return parallel.make_mesh(model=2)
+
+
+def test_mesh_axes(mesh):
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_tp_specs_cover_attention(mesh):
+    cfg = unet.TINY_CONFIG
+    params = unet.init(jax.random.key(0), cfg)
+    specs = parallel.tp_spec_tree(params)
+    # at least one column- and one row-parallel leaf must exist
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    col = sum(1 for s in flat if s == P(None, "model"))
+    row = sum(1 for s in flat if s == P("model", None))
+    assert col > 0 and row > 0
+
+
+def test_sharded_unet_matches_unsharded(mesh):
+    cfg = unet.TINY_CONFIG
+    params = unet.init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (4, 16, 16, 4))
+    t = jnp.full((4,), 500.0)
+    ctx = jax.random.normal(jax.random.key(2), (4, 8, cfg.context_dim))
+
+    want = unet.apply(params, x, t, ctx, cfg)
+
+    sp = parallel.shard_params(params, mesh)
+    data_sh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(x, data_sh)
+    ts = jax.device_put(t, data_sh)
+    cs = jax.device_put(ctx, data_sh)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, a, b, c: unet.apply(p, a, b, c, cfg))(sp, xs, ts, cs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-3)
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    ge = importlib.import_module("__graft_entry__")
+    ge.dryrun_multichip(8)

@@ -1,0 +1,53 @@
+"""High-level checkpoint loading facade.
+
+load_sd_params(path, cfg): torch-zip .ckpt or .safetensors -> full
+{'clip','unet','vae'} param tree in the requested dtype, optionally
+quantized and device_put with shardings — the streaming replacement for
+the reference's torch_load + recursive update_state path
+(example/sd1.py:40-41, storage/state.py).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import safetensors_io, state_map, torch_pickle
+
+
+def load_state_dict(path) -> Dict[str, np.ndarray]:
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        return safetensors_io.load_state_dict(path)
+    return torch_pickle.load_state_dict(path)
+
+
+def load_sd_params(path, cfg=None, *, dtype=jnp.bfloat16, shardings=None):
+    """Load a full SD v1 checkpoint into a param tree.
+
+    shardings: optional pytree of NamedSharding matching the param tree
+    (parallel.sharding_tree); leaves are device_put respecting it.
+    """
+    from ..pipeline import sd as sd_pipeline
+
+    cfg = cfg or sd_pipeline.SD15
+    state = load_state_dict(path)
+    params = {
+        "clip": state_map.clip_from_state(state, cfg.clip),
+        "unet": state_map.unet_from_state(state, cfg.unet),
+        "vae": state_map.vae_from_state(state, cfg.vae),
+    }
+
+    def put(x, sh=None):
+        arr = jnp.asarray(np.asarray(x), dtype=dtype if np.issubdtype(
+            np.asarray(x).dtype, np.floating) else None)
+        if sh is not None:
+            arr = jax.device_put(arr, sh)
+        return arr
+
+    if shardings is None:
+        return jax.tree.map(put, params)
+    return jax.tree.map(put, params, shardings)

@@ -1,0 +1,42 @@
+"""Quantize a param tree's matmul/conv weights in place (weight-only).
+
+Policy: 2D linear weights (in, out) quantize per-output-channel (axis -1);
+4D conv weights (H, W, I, O) per-output-channel (axis -1). Norm
+weights/biases, embeddings and scalar leaves stay full precision —
+norms are numerically sensitive and tiny, embeddings are gathers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quant import QuantizedTensor, quantize
+
+_MIN_QUANT_SIZE = 4096  # don't bother quantizing tiny tensors
+
+
+def quantize_params(params, qdtype=jnp.int8):
+    """Returns a tree where eligible 'weight' leaves become
+    QuantizedTensor; structure otherwise unchanged."""
+
+    def visit(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k == "weight"
+                    and hasattr(v, "ndim")
+                    and v.ndim in (2, 4)
+                    and v.size >= _MIN_QUANT_SIZE
+                ):
+                    out[k] = quantize(v, qdtype, axis=-1)
+                else:
+                    out[k] = visit(v)
+            return out
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        if isinstance(node, tuple) and not isinstance(node, QuantizedTensor):
+            return tuple(visit(v) for v in node)
+        return node
+
+    return visit(params)

@@ -1,0 +1,17 @@
+from .activations import gelu_tanh, geglu, quick_gelu, sigmoid, silu, swish
+from .attention import sdpa, sdpa_xla
+from .conv import conv2d, upsample_nearest_2x
+from .embedding import embedding
+from .linear import linear
+from .norms import group_norm, layer_norm
+from .quant import QuantizedTensor, is_quantized, quantize
+
+__all__ = [
+    "gelu_tanh", "geglu", "quick_gelu", "sigmoid", "silu", "swish",
+    "sdpa", "sdpa_xla",
+    "conv2d", "upsample_nearest_2x",
+    "embedding",
+    "linear",
+    "group_norm", "layer_norm",
+    "QuantizedTensor", "is_quantized", "quantize",
+]

@@ -1,0 +1,89 @@
+"""Scaled dot-product attention.
+
+Replaces the reference's SDPA (attention/sdpa.py:53-77: CuPy matmul →
+explicit device sync → handwritten CUDA row-softmax kernel → CuPy matmul)
+with either:
+
+- the XLA path: one fused einsum→softmax→einsum expression, fp32 softmax
+  statistics — XLA fuses the mask add and the scale; or
+- the Pallas flash-attention kernel (kernels/flash_attention.py):
+  blockwise online softmax, O(seq) memory, used on TPU for large token
+  counts (SD self-attention at 64x64 latents = 4096 tokens, SDXL = 16k).
+
+Dispatch is automatic (TPU + shapes large enough + no dtype oddities) and
+can be forced either way with ``impl=``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference-math SDPA: softmax(scale * q @ k^T + mask) @ v.
+
+    q: (..., Sq, D), k/v: (..., Sk, D); mask broadcastable to
+    (..., Sq, Sk), additive (or boolean: True = keep).
+    """
+    dtype = q.dtype
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, jnp.float32(-jnp.inf))
+        else:
+            logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "...qk,...kd->...qd",
+        weights.astype(dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dtype)
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching SDPA. impl in {None, 'xla', 'flash'}."""
+    if impl is None:
+        impl = _default_impl(q, mask)
+    if impl == "flash":
+        from ..kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask, scale=scale)
+    return sdpa_xla(q, k, v, mask, scale=scale)
+
+
+def _default_impl(q: jax.Array, mask) -> str:
+    # Flash kernel pays off once Sq is big enough to block (SD UNet
+    # self-attention: 4096/1024 tokens). Small sequences (CLIP's 77) and
+    # non-TPU backends use the XLA path.
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    sq = q.shape[-2]
+    if on_tpu and mask is None and sq >= 1024:
+        return "flash"
+    return "xla"

@@ -1,0 +1,95 @@
+"""2D convolution, NHWC / HWIO (TPU-native layouts).
+
+Replaces the reference's per-call cuDNN conv graph builds plus NCHW
+fix-up transposes (vision/conv2d.py:9-46) with one
+`lax.conv_general_dilated` call that XLA maps straight onto the MXU.
+Supports the asymmetric padding the SD VAE encoder needs
+(pad [0,1,0,1], reference vae/encoder.py:19) and grouped conv
+(`feature_group_count` — the reference stored `groups` but never used it,
+vision/conv2d.py:49-51).
+
+Checkpoint conv weights are torch OIHW; io/state_map.py transposes them to
+HWIO once at load time.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+PadLike = Union[int, Sequence[int]]
+
+
+def _normalize_padding(padding: PadLike) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Accept int p, (ph, pw), or torch-style (top, bottom, left, right)."""
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    padding = tuple(padding)
+    if len(padding) == 2:
+        return ((padding[0], padding[0]), (padding[1], padding[1]))
+    if len(padding) == 4:
+        # Reference uses cuDNN [pre_h, post_h, pre_w, post_w] ordering for
+        # the VAE encoder's [0,1,0,1] downsample pads.
+        return ((padding[0], padding[1]), (padding[2], padding[3]))
+    raise ValueError(f"bad padding {padding}")
+
+
+def conv2d(
+    x: jax.Array,
+    w,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: PadLike = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
+    compute_dtype=None,
+) -> jax.Array:
+    """NHWC conv with HWIO weights; bias added in fp32 then cast back.
+
+    ``w`` may be a QuantizedTensor quantized per output channel, in which
+    case scales are applied to the conv output (exact for per-O scaling).
+    """
+    from .quant import QuantizedTensor
+
+    if compute_dtype is None:
+        compute_dtype = x.dtype
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    pad = _normalize_padding(padding)
+
+    scales = None
+    if isinstance(w, QuantizedTensor):
+        scales = w.scales  # (1, 1, 1, O)
+        w = w.values
+
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        y = y * scales.reshape(1, 1, 1, -1)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample, NHWC.
+
+    Same broadcast trick as reference vae/decoder.py:28-30 /
+    vision/unet.py:85-89, transposed to channels-last.
+    """
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

@@ -1,0 +1,56 @@
+"""Dense layers.
+
+Replaces the reference's three GEMM paths — cuDNN pygraph, cublasSgemm_v2
+with a separate add_bias kernel, and batched cublas (reference
+ff/linear.py:8-110) — with a single jnp matmul that XLA tiles onto the MXU
+and fuses the bias add into. Weights are stored **(in_features,
+out_features)** so `x @ w` needs no transpose (checkpoint weights, which
+are (out, in) torch-style, are transposed once at load time).
+
+Quantized weights (ops/quant.QuantizedTensor) are consumed by applying the
+per-output-channel scale to the matmul output — mathematically identical to
+dequantize-then-matmul, but the MXU sees a plain dense matmul and XLA fuses
+the scale+bias epilogue. The Pallas fused kernel (kernels/quant_matmul.py)
+replaces this on TPU for the hot shapes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .quant import QuantizedTensor
+
+
+def linear(
+    x: jax.Array,
+    w,
+    b: Optional[jax.Array] = None,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """y = x @ w + b with w of shape (in, out).
+
+    ``w`` may be a jax.Array or a QuantizedTensor quantized along the
+    output axis (axis=-1).
+    """
+    if compute_dtype is None:
+        compute_dtype = x.dtype
+    if isinstance(w, QuantizedTensor):
+        y = jnp.dot(
+            x.astype(compute_dtype),
+            w.values.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        # scales shape (1, out) -> broadcast over leading dims of y.
+        y = y * w.scales.reshape((1,) * (y.ndim - 1) + (-1,))
+    else:
+        y = jnp.dot(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(compute_dtype)

@@ -1,0 +1,148 @@
+"""Stable Diffusion text-to-image pipeline.
+
+TPU-native replacement for reference variants/sd.py + example/sd1.py's
+denoise loop. The key structural change (SURVEY.md §3.3): the entire
+20-step DDIM loop is ONE jitted function — a `lax.scan` over timesteps
+around a single traced UNet forward — instead of the reference's
+per-step Python loop that rebuilds dozens of cuDNN graphs, inserts full
+device syncs, and round-trips latents through host memory
+(variants/sd.py:34-41).
+
+Classifier-free guidance runs cond+uncond as a batch of 2B through one
+UNet call (reference variants/sd.py:31-32 does the same with B=1).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import clip, unet, vae
+from . import ddim
+
+
+@dataclass(frozen=True)
+class SDConfig:
+    clip: clip.CLIPConfig = field(default_factory=clip.CLIPConfig)
+    unet: unet.UNetConfig = field(default_factory=lambda: unet.SD15_CONFIG)
+    vae: vae.VAEConfig = field(default_factory=lambda: vae.SD_VAE_CONFIG)
+    height: int = 512
+    width: int = 512
+
+    @property
+    def latent_shape(self):
+        f = self.vae.downsample_factor
+        return (self.height // f, self.width // f, self.vae.latent_channels)
+
+
+SD15 = SDConfig()
+
+# Tiny end-to-end config for tests: same code paths, toy sizes.
+TINY = SDConfig(
+    clip=clip.CLIPConfig(vocab_size=128, max_length=16, dim=32, num_layers=2,
+                         num_heads=4, mlp_dim=64),
+    unet=unet.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                         attention_levels=(0, 1), context_dim=32,
+                         num_heads=4, num_groups=8),
+    vae=vae.TINY_VAE_CONFIG,
+    height=32,
+    width=32,
+)
+
+
+def init(key: jax.Array, cfg: SDConfig = SD15, dtype=jnp.float32):
+    """Random-init full param tree: {'clip', 'unet', 'vae'}."""
+    kc, ku, kv = jax.random.split(key, 3)
+    return {
+        "clip": clip.init(kc, cfg.clip, dtype),
+        "unet": unet.init(ku, cfg.unet, dtype),
+        "vae": vae.init(kv, cfg.vae, dtype),
+    }
+
+
+def encode_text(params, input_ids: jax.Array, cfg: SDConfig = SD15) -> jax.Array:
+    """Token ids (B, T) -> conditioning context (B, T, dim)."""
+    return clip.apply(params["clip"], input_ids, cfg.clip)
+
+
+def denoise_step(
+    unet_params,
+    latent: jax.Array,
+    timestep: jax.Array,
+    context2: jax.Array,
+    guidance: jax.Array,
+    a_t: jax.Array,
+    a_prev: jax.Array,
+    cfg: SDConfig = SD15,
+) -> jax.Array:
+    """One CFG + DDIM update.
+
+    latent (B, h, w, c); context2 (2B, S, D) = [uncond ‖ cond];
+    timestep scalar; a_t/a_prev scalars.
+    """
+    b = latent.shape[0]
+    lat2 = jnp.concatenate([latent, latent], axis=0)
+    t2 = jnp.broadcast_to(timestep.astype(jnp.float32), (2 * b,))
+    eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+    e_uncond, e_cond = eps[:b], eps[b:]
+    e_t = ddim.cfg_combine(e_uncond, e_cond, guidance)
+    return ddim.ddim_step(latent, e_t, a_t, a_prev)
+
+
+def sample_latents(
+    unet_params,
+    latent: jax.Array,
+    context: jax.Array,
+    uncond_context: jax.Array,
+    *,
+    num_steps: int,
+    guidance,
+    cfg: SDConfig = SD15,
+) -> jax.Array:
+    """Full DDIM sampling as one lax.scan (jit-friendly; num_steps static)."""
+    guidance = jnp.asarray(guidance, jnp.float32)
+    context2 = jnp.concatenate([uncond_context, context], axis=0)
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    # Reverse: iterate from the noisiest timestep down.
+    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
+
+    def body(lat, x):
+        t, a_t, a_prev = x
+        lat = denoise_step(unet_params, lat, t, context2, guidance, a_t, a_prev, cfg)
+        return lat, None
+
+    latent, _ = jax.lax.scan(body, latent, xs)
+    return latent
+
+
+@partial(jax.jit, static_argnames=("num_steps", "cfg"))
+def generate(
+    params,
+    input_ids: jax.Array,
+    uncond_ids: jax.Array,
+    latent: jax.Array,
+    guidance: jax.Array,
+    *,
+    num_steps: int = 20,
+    cfg: SDConfig = SD15,
+) -> jax.Array:
+    """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
+
+    One compiled program: CLIP (cond+uncond), scanned DDIM loop, VAE
+    decode, postprocess.
+    """
+    ctx = encode_text(params, input_ids, cfg)
+    uctx = encode_text(params, uncond_ids, cfg)
+    latent = sample_latents(
+        params["unet"], latent, ctx, uctx,
+        num_steps=num_steps, guidance=guidance, cfg=cfg,
+    )
+    img = vae.decode(params["vae"], latent, cfg.vae)
+    return vae.to_image(img)
+
+
+def initial_latent(key: jax.Array, batch: int, cfg: SDConfig = SD15, dtype=jnp.float32):
+    return jax.random.normal(key, (batch, *cfg.latent_shape), dtype)
