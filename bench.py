@@ -1,0 +1,92 @@
+"""Benchmark harness: SD1.5 512x512, 20-step DDIM, CFG 7.5, one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference (Fatlonder/tinyfusers) publishes no numbers (BASELINE.md),
+so vs_baseline is measured against our own recorded first-light number in
+bench_baseline.json (committed once, then held fixed for the round
+series). Weights are seeded-random (no checkpoint assets in this
+environment); FLOPs and memory traffic are identical to real weights.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """block_until_ready is unreliable on this platform's tunnel — a host
+    readback is the only trustworthy sync point."""
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    steps = 20
+    batch = 1
+
+    from tinyfusers_tpu.pipeline import sd
+
+    cfg = sd.SD15
+    dtype = jnp.bfloat16
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.monotonic()
+    params = sd.init(jax.random.key(0), cfg, dtype=dtype)
+    sync(params)
+    log(f"init params: {time.monotonic()-t0:.1f}s")
+
+    ids = jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406)
+    uids = ids
+    latent = sd.initial_latent(jax.random.key(1), batch, cfg, dtype)
+    guidance = jnp.float32(7.5)
+
+    t0 = time.monotonic()
+    for _ in range(2):  # compile + flush lazy weight upload
+        img = sd.generate(params, ids, uids, latent, guidance, num_steps=steps, cfg=cfg)
+        sync(img)
+    log(f"warmup (compile + weight upload): {time.monotonic()-t0:.1f}s")
+
+    n_runs = 3 if quick else 7
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        img = sd.generate(params, ids, uids, latent, guidance, num_steps=steps, cfg=cfg)
+        np.asarray(img)  # e2e includes the image reaching the host
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    images_per_sec = batch / p50
+    step_ms = p50 / steps * 1e3  # upper bound incl. CLIP+VAE amortized
+    log(f"e2e p50: {p50:.3f}s  ({images_per_sec:.3f} img/s, ~{step_ms:.1f} ms/step incl. CLIP+VAE)")
+
+    baseline_file = Path(__file__).parent / "bench_baseline.json"
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text())["images_per_sec_per_chip"]
+        vs = images_per_sec / base
+    else:
+        vs = 1.0
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_sd15_512x512_20step_cfg",
+        "value": round(images_per_sec, 4),
+        "unit": "images/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path exercised on
+TPU by the bench/driver)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinyfusers_tpu.kernels.flash_attention import flash_attention
+from tinyfusers_tpu.ops.attention import sdpa_xla
+
+
+def rand(key, *shape):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "bh,sq,sk,d",
+        [
+            (2, 256, 256, 40),    # SD1.5 self-attn head dim (unaligned)
+            (1, 300, 300, 64),    # non-multiple-of-block lengths
+            (2, 256, 77, 64),     # cross-attn style short kv
+            (1, 1024, 1024, 80),
+        ],
+    )
+    def test_matches_xla(self, bh, sq, sk, d):
+        q, k, v = rand(0, bh, sq, d), rand(1, bh, sk, d), rand(2, bh, sk, d)
+        want = sdpa_xla(q, k, v)
+        got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_causal_matches_xla_mask(self):
+        bh, s, d = 1, 256, 64
+        q, k, v = rand(0, bh, s, d), rand(1, bh, s, d), rand(2, bh, s, d)
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        want = sdpa_xla(q, k, v, mask)
+        got = flash_attention(q, k, v, causal=True, block_q=128, block_k=128,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_batch_head_leading_dims(self):
+        q, k, v = rand(0, 2, 4, 128, 32), rand(1, 2, 4, 128, 32), rand(2, 2, 4, 128, 32)
+        want = sdpa_xla(q, k, v)
+        got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_bfloat16(self):
+        q = rand(0, 1, 256, 64).astype(jnp.bfloat16)
+        want = sdpa_xla(q, q, q)
+        got = flash_attention(q, q, q, block_q=128, block_k=128, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.05, rtol=0.05,
+        )
+
+    def test_rejects_explicit_mask(self):
+        q = rand(0, 1, 128, 64)
+        with pytest.raises(ValueError):
+            flash_attention(q, q, q, mask=jnp.ones((128, 128)))

@@ -1,0 +1,102 @@
+"""Serving engine tests: native C++ scheduler core parity with the Python
+fallback, and continuous-batching correctness — a request's image must be
+identical whether it ran alone or joined a busy batch mid-flight."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinyfusers_tpu.pipeline import sd
+from tinyfusers_tpu.serve import Engine, make_scheduler_core
+from tinyfusers_tpu.serve.engine import _PySchedulerCore
+
+
+def core_cases():
+    cores = [lambda n: _PySchedulerCore(n)]
+    from tinyfusers_tpu.native import get_lib
+
+    if get_lib() is not None:
+        cores.append(lambda n: make_scheduler_core(n, prefer_native=True))
+    return cores
+
+
+@pytest.mark.parametrize("make_core", core_cases())
+class TestSchedulerCore:
+    def test_fifo_assignment_and_completion(self, make_core):
+        core = make_core(2)
+        core.submit(10, 3)
+        core.submit(11, 1)
+        core.submit(12, 2)
+        assigned = core.assign()
+        assert [(r, s) for r, s, _ in assigned] == [(10, 0), (11, 1)]
+        assert core.pending() == 1 and core.active() == 2
+
+        done = core.tick()  # 10:2 left, 11 done
+        assert done == [(11, 1)]
+        assigned = core.assign()  # 12 takes slot 1
+        assert assigned == [(12, 1, 2)]
+        done = core.tick()  # 10:1, 12:1
+        assert done == []
+        done = core.tick()
+        assert sorted(done) == [(10, 0), (12, 1)]
+        assert core.active() == 0 and core.pending() == 0
+
+    def test_remaining_counts(self, make_core):
+        core = make_core(1)
+        core.submit(5, 4)
+        core.assign()
+        assert core.remaining(0) == 4
+        core.tick()
+        assert core.remaining(0) == 3
+
+
+class TestEngine:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        return cfg, params
+
+    def _req(self, engine, cfg, seed, steps=3, prompt_tok=7):
+        ids = np.full((cfg.clip.max_length,), prompt_tok, np.int32)
+        uids = np.zeros((cfg.clip.max_length,), np.int32)
+        return engine.make_request(ids, uids, num_steps=steps, seed=seed)
+
+    def test_single_request_completes(self, setup):
+        cfg, params = setup
+        eng = Engine(params, cfg, num_slots=2)
+        eng.submit(self._req(eng, cfg, seed=1))
+        results = eng.run_until_idle()
+        assert len(results) == 1
+        img = results[0].image
+        assert img.shape == (cfg.height, cfg.width, 3) and img.dtype == np.uint8
+
+    def test_continuous_join_matches_solo(self, setup):
+        """A request joining mid-flight must produce the same image as the
+        same request running alone (per-slot t makes batching exact)."""
+        cfg, params = setup
+
+        solo = Engine(params, cfg, num_slots=2)
+        solo.submit(self._req(solo, cfg, seed=5, steps=3))
+        solo_img = solo.run_until_idle()[0].image
+
+        eng = Engine(params, cfg, num_slots=2)
+        eng.submit(self._req(eng, cfg, seed=1, steps=5, prompt_tok=3))
+        eng.step()  # first request makes progress alone
+        eng.step()
+        late = self._req(eng, cfg, seed=5, steps=3)
+        eng.submit(late)  # joins at tick 3 while slot 0 is mid-flight
+        results = eng.run_until_idle()
+        assert len(results) == 2
+        got = {r.request_id: r.image for r in results}[late.request_id]
+        np.testing.assert_array_equal(got, solo_img)
+
+    def test_more_requests_than_slots(self, setup):
+        cfg, params = setup
+        eng = Engine(params, cfg, num_slots=2)
+        reqs = [self._req(eng, cfg, seed=i, steps=2) for i in range(5)]
+        for r in reqs:
+            eng.submit(r)
+        results = eng.run_until_idle()
+        assert sorted(r.request_id for r in results) == [r.request_id for r in reqs]

@@ -27,6 +27,15 @@ class TestByteMapping:
         assert len(set(m.values())) == 256
         assert m[ord("a")] == "a"
 
+    def test_clip_vocab_id_order(self):
+        """Base vocab ids follow CLIP's printable-first ordering:
+        id('a') = 64 (position of byte 97 in the printable list), and the
+        end-of-word variant lives 256 later ('a</w>' = 320)."""
+        tok = bpe.ClipTokenizer(None)
+        assert tok.encoder["a"] == ord("a") - ord("!")
+        assert tok.encoder["a</w>"] == 256 + ord("a") - ord("!")
+        assert tok.encode_text("a") == [320]
+
 
 class TestEncodeStructure:
     def test_framing_and_padding(self):

@@ -1,0 +1,162 @@
+"""Pallas flash attention (TPU).
+
+Replaces the reference's SDPA hot path — CuPy matmul + explicit device
+sync + handwritten CUDA row-softmax kernel + CuPy matmul
+(attention/sdpa.py:53-77, native/cuda/softmax.cu) — with a blockwise
+online-softmax kernel: O(seq) memory, no (Sq, Sk) logits materialized in
+HBM, fp32 softmax statistics, MXU matmuls per block.
+
+Designed blockwise from day one so sequence sharding composes later
+(SURVEY.md §5 long-context note): SDXL's 16k spatial tokens and
+ring-attention variants reuse the same inner kernel.
+
+Grid: (batch*heads, num_q_blocks, num_k_blocks); the k dimension is the
+innermost (sequential on TPU), carrying running max/denominator/accum in
+VMEM scratch across k steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+            scale: float, sk_real: int, block_k: int, causal: bool,
+            block_q: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0]  # (block_q, d)
+        k = k_ref[0]  # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < sk_real
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:]          # (block_q, 1)
+        l_prev = l_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)     # (block_q, block_k)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = correction * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_scr[:] * correction + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+        acc_scr[:] = acc
+
+    if causal:
+        # Skip fully-masked k blocks above the diagonal.
+        first_masked = (j * block_k) > (i * block_q + block_q - 1)
+
+        @pl.when(jnp.logical_not(first_masked))
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows -> 0
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask=None,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(scale * q @ k^T [+ causal]) @ v, blockwise.
+
+    q (..., Sq, D), k/v (..., Sk, D). Explicit ``mask`` arrays are not
+    supported here (use ops.sdpa_xla); ``causal=True`` covers the
+    causal-mask case without materializing one.
+    """
+    if mask is not None:
+        raise ValueError("flash_attention: use causal=, not explicit masks")
+    *lead, sq, d = q.shape
+    sk = k.shape[-2]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+
+    q3 = q.reshape(-1, sq, d)
+    k3 = k.reshape(-1, sk, d)
+    v3 = v.reshape(-1, sk, d)
+    bh = q3.shape[0]
+
+    bq = min(block_q, max(8, sq))
+    bk = min(block_k, max(128, sk))
+    q3 = _pad_to(q3, 1, bq)
+    k3 = _pad_to(k3, 1, bk)
+    v3 = _pad_to(v3, 1, bk)
+    nq = q3.shape[1] // bq
+    nk = k3.shape[1] // bk
+
+    kernel = functools.partial(
+        _kernel, scale=scale, sk_real=sk, block_k=bk, causal=causal, block_q=bq
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, k3, v3)
+
+    out = out[:, :sq]
+    return out.reshape(*lead, sq, d)

@@ -1,0 +1,1 @@
+from .engine import Engine, Request, Result, make_scheduler_core  # noqa: F401

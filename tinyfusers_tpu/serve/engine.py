@@ -1,0 +1,264 @@
+"""Continuous-batching generation engine.
+
+New capability — the reference serves exactly one hard-coded prompt from a
+script (example/sd1.py). Design (diffusion-native continuous batching):
+
+- The device holds S fixed slots: latents (S, h, w, c) and contexts
+  (2S, T, D). The denoise step is ONE jitted function over all slots with
+  per-slot timestep/alpha scalars — so requests at different progress
+  points batch together, finished requests vacate at a step boundary, and
+  queued requests join mid-flight. No recompiles (static shapes), no
+  barrier on the longest request.
+- Slot/queue bookkeeping lives in the C++ core (native/scheduler.cpp) via
+  ctypes, with a pure-Python fallback.
+- VAE decode runs per completion, jitted separately (batch of 1 slot), so
+  it never blocks the denoise cadence of other slots.
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import unet as unet_model
+from ..models import vae as vae_model
+from ..pipeline import ddim, sd
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt_ids: np.ndarray       # (T,) int32 token ids
+    uncond_ids: np.ndarray       # (T,)
+    num_steps: int = 20
+    guidance: float = 7.5
+    seed: int = 0
+
+
+@dataclass
+class Result:
+    request_id: int
+    image: np.ndarray            # (H, W, 3) uint8
+
+
+class _PySchedulerCore:
+    """Pure-Python fallback mirroring native/scheduler.cpp semantics."""
+
+    def __init__(self, num_slots: int):
+        self.queue: List = []
+        self.slots = [None] * num_slots  # None | [request_id, remaining]
+
+    def submit(self, rid: int, steps: int):
+        self.queue.append((rid, steps))
+        return len(self.queue)
+
+    def assign(self):
+        out = []
+        for i, s in enumerate(self.slots):
+            if s is None and self.queue:
+                rid, steps = self.queue.pop(0)
+                self.slots[i] = [rid, steps]
+                out.append((rid, i, steps))
+        return out
+
+    def tick(self):
+        done = []
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            s[1] -= 1
+            if s[1] <= 0:
+                done.append((s[0], i))
+                self.slots[i] = None
+        return done
+
+    def active(self):
+        return sum(1 for s in self.slots if s is not None)
+
+    def pending(self):
+        return len(self.queue)
+
+    def remaining(self, slot: int) -> int:
+        s = self.slots[slot]
+        return s[1] if s else 0
+
+
+class _NativeSchedulerCore:
+    def __init__(self, lib, num_slots: int):
+        self._lib = lib
+        self._h = lib.tf_sched_create(num_slots)
+        self._cap = num_slots
+
+    def submit(self, rid, steps):
+        return self._lib.tf_sched_submit(self._h, rid, steps)
+
+    def assign(self):
+        req = (ctypes.c_long * self._cap)()
+        slot = (ctypes.c_int * self._cap)()
+        steps = (ctypes.c_int * self._cap)()
+        n = self._lib.tf_sched_assign(self._h, req, slot, steps, self._cap)
+        return [(req[i], slot[i], steps[i]) for i in range(n)]
+
+    def tick(self):
+        req = (ctypes.c_long * self._cap)()
+        slot = (ctypes.c_int * self._cap)()
+        n = self._lib.tf_sched_tick(self._h, req, slot, self._cap)
+        return [(req[i], slot[i]) for i in range(n)]
+
+    def active(self):
+        return self._lib.tf_sched_active(self._h)
+
+    def pending(self):
+        return self._lib.tf_sched_pending(self._h)
+
+    def remaining(self, slot):
+        return self._lib.tf_sched_slot_steps_remaining(self._h, slot)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tf_sched_destroy(self._h)
+
+
+def make_scheduler_core(num_slots: int, prefer_native: bool = True):
+    if prefer_native:
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            return _NativeSchedulerCore(lib, num_slots)
+    return _PySchedulerCore(num_slots)
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        cfg: sd.SDConfig = sd.SD15,
+        *,
+        num_slots: int = 4,
+        prefer_native: bool = True,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.S = num_slots
+        self.core = make_scheduler_core(num_slots, prefer_native)
+        h, w, c = cfg.latent_shape
+        dtype = jax.tree.leaves(params["unet"])[0].dtype
+        self._dtype = dtype
+        self.latents = jnp.zeros((num_slots, h, w, c), dtype)
+        t = cfg.clip.max_length
+        d = cfg.clip.dim
+        # contexts layout: [uncond(S) ‖ cond(S)] to match denoise batching
+        self.contexts = jnp.zeros((2 * num_slots, t, d), dtype)
+        self.guidance = np.zeros((num_slots,), np.float32)
+        self._steps_total: Dict[int, int] = {}   # slot -> total steps
+        self._ladders: Dict[int, np.ndarray] = {}  # per distinct num_steps
+        self._acp = np.asarray(ddim.alphas_cumprod())
+        self._next_rid = 0
+
+        self._encode = jax.jit(
+            lambda p, ids: sd.encode_text(p, ids, cfg)
+        )
+        self._decode = jax.jit(
+            lambda p, z: vae_model.to_image(vae_model.decode(p, z, cfg.vae))
+        )
+        self._step = jax.jit(self._slot_step)
+
+    # -- jitted per-tick step over all slots -----------------------------
+
+    def _slot_step(self, unet_params, latents, contexts, guidance, t, a_t, a_prev, active):
+        s = latents.shape[0]
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        eps = unet_model.apply(unet_params, lat2, t2, contexts, self.cfg.unet)
+        e_u, e_c = eps[:s], eps[s:]
+        e_t = ddim.cfg_combine(e_u, e_c, guidance[:, None, None, None])
+        new = ddim.ddim_step(
+            latents, e_t, a_t[:, None, None, None], a_prev[:, None, None, None]
+        )
+        keep = active[:, None, None, None]
+        return jnp.where(keep, new, latents)
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        self.core.submit(req.request_id, req.num_steps)
+        self._requests = getattr(self, "_requests", {})
+        self._requests[req.request_id] = req
+        return req.request_id
+
+    def make_request(self, prompt_ids, uncond_ids, *, num_steps=20,
+                     guidance=7.5, seed=0) -> Request:
+        rid = self._next_rid
+        self._next_rid += 1
+        return Request(rid, np.asarray(prompt_ids), np.asarray(uncond_ids),
+                       num_steps, guidance, seed)
+
+    def _ladder(self, num_steps: int) -> np.ndarray:
+        if num_steps not in self._ladders:
+            self._ladders[num_steps] = np.asarray(ddim.ddim_timesteps(num_steps))
+        return self._ladders[num_steps]
+
+    def step(self) -> List[Result]:
+        """One scheduler tick: admit, denoise every active slot by one
+        step, harvest completions. Returns decoded results."""
+        for rid, slot, steps in self.core.assign():
+            req = self._requests[rid]
+            self._steps_total[slot] = steps
+            self.guidance[slot] = req.guidance
+            ids = jnp.asarray(req.prompt_ids)[None]
+            uids = jnp.asarray(req.uncond_ids)[None]
+            ctx = self._encode(self.params, ids)[0].astype(self._dtype)
+            uctx = self._encode(self.params, uids)[0].astype(self._dtype)
+            self.contexts = self.contexts.at[slot].set(uctx)
+            self.contexts = self.contexts.at[self.S + slot].set(ctx)
+            lat0 = jax.random.normal(
+                jax.random.key(req.seed), self.cfg.latent_shape, self._dtype
+            )
+            self.latents = self.latents.at[slot].set(lat0)
+
+        # Per-slot (t, a_t, a_prev) from remaining counts; inactive slots
+        # get harmless identity values (a_t = a_prev = 1).
+        t = np.zeros((self.S,), np.float32)
+        a_t = np.ones((self.S,), np.float32)
+        a_prev = np.ones((self.S,), np.float32)
+        active = np.zeros((self.S,), bool)
+        for slot in range(self.S):
+            rem = self.core.remaining(slot)
+            if rem <= 0:
+                continue
+            total = self._steps_total[slot]
+            ladder = self._ladder(total)
+            idx = rem - 1  # remaining steps -> position in ascending ladder
+            ts = ladder[idx]
+            t[slot] = float(ts)
+            a_t[slot] = self._acp[ts]
+            a_prev[slot] = self._acp[ladder[idx - 1]] if idx > 0 else 1.0
+            active[slot] = True
+
+        if active.any():
+            self.latents = self._step(
+                self.params["unet"], self.latents, self.contexts,
+                jnp.asarray(self.guidance), jnp.asarray(t),
+                jnp.asarray(a_t), jnp.asarray(a_prev), jnp.asarray(active),
+            )
+
+        results = []
+        for rid, slot in self.core.tick():
+            img = self._decode(self.params["vae"], self.latents[slot][None])
+            results.append(Result(rid, np.asarray(img[0])))
+            self._steps_total.pop(slot, None)
+        return results
+
+    def run_until_idle(self, max_ticks: int = 10000) -> List[Result]:
+        out = []
+        for _ in range(max_ticks):
+            if not (self.core.active() or self.core.pending()):
+                break
+            out.extend(self.step())
+        return out

@@ -37,18 +37,21 @@ _ASSET_CANDIDATES = [
 @lru_cache()
 def byte_to_unicode() -> Dict[int, str]:
     """GPT-2/CLIP printable-unicode byte mapping: the 188 printable latin
-    bytes map to themselves; the rest get shifted into 0x100+."""
+    bytes map to themselves; the rest get shifted into 0x100+.
+
+    NOTE: insertion order matters — CLIP's vocab lists base symbols in
+    this dict's order (printable bytes first, then the shifted rest), and
+    vocab *ids* are positions in that list. E.g. id('a') = 64, not 97.
+    """
     printable = (
         list(range(ord("!"), ord("~") + 1))
         + list(range(ord("¡"), ord("¬") + 1))
         + list(range(ord("®"), ord("ÿ") + 1))
     )
-    mapping = {}
+    mapping = {b: chr(b) for b in printable}
     shift = 0
     for b in range(256):
-        if b in printable:
-            mapping[b] = chr(b)
-        else:
+        if b not in mapping:
             mapping[b] = chr(256 + shift)
             shift += 1
     return mapping
