@@ -33,6 +33,28 @@ def sync(x):
     return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
 
+def fast_random_params(cfg, dtype, seed=0):
+    """Random weights built host-side with numpy (seconds) instead of
+    per-leaf device RNG over the tunnel (minutes). Same shapes/dtypes as
+    sd.init; distribution detail doesn't matter for throughput."""
+    from tinyfusers_tpu.pipeline import sd
+
+    shapes = jax.eval_shape(lambda: sd.init(jax.random.key(0), cfg, dtype=dtype))
+    rng = np.random.default_rng(seed)
+    # One random block recycled across leaves: weight *values* don't matter
+    # for throughput, and per-leaf RNG for ~1B params takes minutes on a
+    # small host.
+    pool = (rng.standard_normal(1 << 20).astype(np.float32) * 0.02)
+
+    def fill(leaf):
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        reps = -(-n // pool.size)
+        arr = np.tile(pool, reps)[:n].reshape(leaf.shape)
+        return jnp.asarray(arr, dtype=leaf.dtype)
+
+    return jax.tree.map(fill, shapes)
+
+
 def main():
     quick = "--quick" in sys.argv
     steps = 20
@@ -45,9 +67,8 @@ def main():
     log(f"devices: {jax.devices()}")
 
     t0 = time.monotonic()
-    params = sd.init(jax.random.key(0), cfg, dtype=dtype)
-    sync(params)
-    log(f"init params: {time.monotonic()-t0:.1f}s")
+    params = fast_random_params(cfg, dtype)
+    log(f"init params (host): {time.monotonic()-t0:.1f}s")
 
     ids = jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406)
     uids = ids

@@ -28,8 +28,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="rendered.png")
     p.add_argument("--ckpt", default=None, help="SD1.x .ckpt or .safetensors")
-    p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15",
-                   help="tiny = toy config for smoke tests (CPU-friendly)")
+    p.add_argument("--preset", choices=["sd15", "tiny", "sdxl", "tinyxl"],
+                   default="sd15",
+                   help="tiny/tinyxl = toy configs for smoke tests (CPU-friendly)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none",
@@ -43,45 +44,64 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from tinyfusers_tpu.pipeline import sd
+    from tinyfusers_tpu.pipeline import sd, sdxl
     from tinyfusers_tpu.tokenizer import bpe
 
-    cfg = sd.SD15 if args.preset == "sd15" else sd.TINY
+    is_xl = args.preset in ("sdxl", "tinyxl")
+    if is_xl:
+        cfg = sdxl.SDXL_BASE if args.preset == "sdxl" else sdxl.TINY_XL
+        pipe = sdxl
+    else:
+        cfg = sd.SD15 if args.preset == "sd15" else sd.TINY
+        pipe = sd
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     t0 = time.monotonic()
     if args.ckpt:
+        if is_xl:
+            raise SystemExit("SDXL checkpoint mapping not wired into the CLI yet")
         from tinyfusers_tpu.io import checkpoints
         params = checkpoints.load_sd_params(args.ckpt, cfg, dtype=dtype)
     else:
         print("no --ckpt given: using seeded random weights (noise output)")
-        params = sd.init(jax.random.key(0), cfg, dtype=dtype)
+        params = pipe.init(jax.random.key(0), cfg, dtype=dtype)
     if args.quant != "none":
-        from tinyfusers_tpu.ops.quant import quantize
         from tinyfusers_tpu.io.quantize_tree import quantize_params
         qdtype = jnp.int8 if args.quant == "int8" else jnp.float8_e4m3fn
         params["unet"] = quantize_params(params["unet"], qdtype)
     print(f"params ready in {time.monotonic()-t0:.1f}s")
 
     tok = bpe.ClipTokenizer.load_default()
-    ids = jnp.array([tok.encode(args.prompt)] * args.batch, jnp.int32)
-    uids = jnp.array([tok.encode(args.negative_prompt)] * args.batch, jnp.int32)
-    if cfg.clip.max_length != ids.shape[1]:
-        ids = ids[:, : cfg.clip.max_length]
-        uids = uids[:, : cfg.clip.max_length]
 
-    latent = sd.initial_latent(jax.random.key(args.seed), args.batch, cfg, dtype)
+    def make_ids(text, length):
+        return jnp.array([tok.encode(text, length)] * args.batch, jnp.int32)
+
+    latent = pipe.initial_latent(jax.random.key(args.seed), args.batch, cfg, dtype)
+    if is_xl:
+        ids_l = make_ids(args.prompt, cfg.clip_l.max_length)
+        ids_g = make_ids(args.prompt, cfg.clip_g.max_length)
+        uids_l = make_ids(args.negative_prompt, cfg.clip_l.max_length)
+        uids_g = make_ids(args.negative_prompt, cfg.clip_g.max_length)
+        gen = lambda: sdxl.generate(
+            params, ids_l, ids_g, uids_l, uids_g, latent,
+            jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg)
+    else:
+        ids = make_ids(args.prompt, cfg.clip.max_length)
+        uids = make_ids(args.negative_prompt, cfg.clip.max_length)
+        gen = lambda: sd.generate(params, ids, uids, latent,
+                                  jnp.float32(args.guidance),
+                                  num_steps=args.steps, cfg=cfg)
+
+    import numpy as _np
 
     t0 = time.monotonic()
-    img = sd.generate(params, ids, uids, latent, jnp.float32(args.guidance),
-                      num_steps=args.steps, cfg=cfg)
-    jax.block_until_ready(img)
+    img = gen()
+    _np.asarray(img)  # true sync (block_until_ready is unreliable on tunnels)
     compile_and_run = time.monotonic() - t0
     if args.timing:
         t0 = time.monotonic()
-        img = sd.generate(params, ids, uids, latent, jnp.float32(args.guidance),
-                          num_steps=args.steps, cfg=cfg)
-        jax.block_until_ready(img)
+        img = gen()
+        _np.asarray(img)
         steady = time.monotonic() - t0
         print(f"first call (incl. compile): {compile_and_run:.2f}s; "
               f"steady-state: {steady:.2f}s "

@@ -1,1 +1,1 @@
-from . import clip, unet, vae  # noqa: F401
+from . import clip, dit, unet, vae  # noqa: F401

@@ -34,6 +34,15 @@ class CLIPConfig:
     num_layers: int = 12
     num_heads: int = 12
     mlp_dim: int = 3072
+    act: str = "quick_gelu"      # "quick_gelu" (CLIP ViT-L) | "gelu" (OpenCLIP)
+    projection_dim: int = 0      # >0: text_projection head (OpenCLIP bigG)
+
+
+# SDXL's second text encoder (OpenCLIP ViT-bigG/14 text tower).
+OPENCLIP_BIGG_CONFIG = CLIPConfig(
+    dim=1280, num_layers=32, num_heads=20, mlp_dim=5120,
+    act="gelu", projection_dim=1280,
+)
 
 
 def init(key: jax.Array, cfg: CLIPConfig = CLIPConfig(), dtype=jnp.float32):
@@ -59,12 +68,17 @@ def init(key: jax.Array, cfg: CLIPConfig = CLIPConfig(), dtype=jnp.float32):
     layer_keys = jax.random.split(keys[2], cfg.num_layers)
     # Stack per-layer trees along a leading axis for lax.scan.
     layers = jax.tree.map(lambda *xs: jnp.stack(xs), *[layer_init(k) for k in layer_keys])
-    return {
+    params = {
         "token_embedding": pinit.embedding_params(keys[0], cfg.vocab_size, cfg.dim, dtype),
         "position_embedding": pinit.embedding_params(keys[1], cfg.max_length, cfg.dim, dtype),
         "layers": layers,
         "final_layer_norm": pinit.norm_params(cfg.dim, dtype),
     }
+    if cfg.projection_dim:
+        params["text_projection"] = pinit.linear_params(
+            keys[3], cfg.dim, cfg.projection_dim, bias=False, dtype=dtype
+        )
+    return params
 
 
 def _attn(p, x, mask, num_heads: int):
@@ -86,13 +100,24 @@ def _layer(p, x, mask, cfg: CLIPConfig):
     x = x + _attn(p["self_attn"], h, mask, cfg.num_heads)
     h = ops.layer_norm(x, p["layer_norm2"]["weight"], p["layer_norm2"]["bias"])
     h = ops.linear(h, p["mlp"]["fc1"]["weight"], p["mlp"]["fc1"]["bias"])
-    h = ops.quick_gelu(h)
+    h = ops.quick_gelu(h) if cfg.act == "quick_gelu" else ops.gelu_tanh(h)
     h = ops.linear(h, p["mlp"]["fc2"]["weight"], p["mlp"]["fc2"]["bias"])
     return x + h
 
 
-def apply(params, input_ids: jax.Array, cfg: CLIPConfig = CLIPConfig()) -> jax.Array:
-    """input_ids (B, T) int32 -> hidden states (B, T, dim)."""
+def apply(
+    params,
+    input_ids: jax.Array,
+    cfg: CLIPConfig = CLIPConfig(),
+    *,
+    skip_final_norm_layers: int = 0,
+) -> jax.Array:
+    """input_ids (B, T) int32 -> hidden states (B, T, dim).
+
+    skip_final_norm_layers=k returns the hidden state k layers before the
+    end WITHOUT the final layer norm (SDXL conditions on the bigG
+    encoder's penultimate layer, k=1; "clip skip" in SD tooling).
+    """
     t = input_ids.shape[-1]
     x = ops.embedding(input_ids, params["token_embedding"]["weight"])
     x = x + params["position_embedding"]["weight"][:t]
@@ -100,12 +125,32 @@ def apply(params, input_ids: jax.Array, cfg: CLIPConfig = CLIPConfig()) -> jax.A
     # vae/encoder.py:79 built this per call; here it is a traced constant).
     mask = jnp.triu(jnp.full((1, 1, t, t), -jnp.inf, jnp.float32), k=1)
 
-    def body(carry, layer_params):
-        return _layer(layer_params, carry, mask, cfg), None
+    collect = skip_final_norm_layers > 0  # static: avoids stacking ys otherwise
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    def body(carry, layer_params):
+        return _layer(layer_params, carry, mask, cfg), (carry if collect else None)
+
+    x, pre_states = jax.lax.scan(body, x, params["layers"])
+    if skip_final_norm_layers > 0:
+        # pre_states[i] is the input to layer i; index -k+... : the state
+        # k layers before the end is pre_states[num_layers - k].
+        return pre_states[cfg.num_layers - skip_final_norm_layers]
     return ops.layer_norm(
         x,
         params["final_layer_norm"]["weight"],
         params["final_layer_norm"]["bias"],
     )
+
+
+def apply_pooled(
+    params, input_ids: jax.Array, cfg: CLIPConfig
+) -> jax.Array:
+    """Pooled text embedding: final-norm hidden state at each sequence's
+    EOT position (highest token id = EOT for CLIP vocab), through
+    text_projection when configured. (B, T) -> (B, projection_dim|dim)."""
+    x = apply(params, input_ids, cfg)
+    eot = jnp.argmax(input_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    if "text_projection" in params:
+        pooled = ops.linear(pooled, params["text_projection"]["weight"])
+    return pooled

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,19 +35,42 @@ class UNetConfig:
     num_res_blocks: int = 2
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     attention_levels: Tuple[int, ...] = (0, 1, 2)  # levels with SpatialTransformer
-    transformer_depth: int = 1
+    transformer_depth: Union[int, Tuple[int, ...]] = 1  # scalar or per-level
     context_dim: int = 768
     num_heads: int = 8           # fixed head count (SD1.x) ...
     head_dim: Optional[int] = None  # ... or fixed head dim (SDXL style)
     num_groups: int = 32
+    # SDXL "text_time" ADM conditioning: pooled text emb + size embeddings
+    # fed through a second MLP and added to the timestep embedding.
+    adm_in_channels: Optional[int] = None
 
     def heads_for(self, ch: int) -> Tuple[int, int]:
         if self.head_dim is not None:
             return ch // self.head_dim, self.head_dim
         return self.num_heads, ch // self.num_heads
 
+    def depth_for(self, level: int) -> int:
+        if isinstance(self.transformer_depth, tuple):
+            return self.transformer_depth[level]
+        return self.transformer_depth
+
 
 SD15_CONFIG = UNetConfig()
+
+# SD 2.x: OpenCLIP-H conditioning (1024-d context), fixed 64-d heads.
+SD21_CONFIG = UNetConfig(context_dim=1024, num_heads=-1, head_dim=64)
+
+# SDXL-base: 3 levels, transformer depths (0, 2, 10), dual-text 2048-d
+# context, pooled-text+size ADM conditioning (2816 = 1280 + 6*256).
+SDXL_CONFIG = UNetConfig(
+    channel_mult=(1, 2, 4),
+    attention_levels=(1, 2),
+    transformer_depth=(0, 2, 10),
+    context_dim=2048,
+    num_heads=-1,
+    head_dim=64,
+    adm_in_channels=2816,
+)
 
 # A tiny config for fast tests (same code paths, ~1000x fewer FLOPs).
 TINY_CONFIG = UNetConfig(
@@ -96,14 +119,15 @@ def build_plan(cfg: UNetConfig):
             block = [ResSpec(ch, out_ch)]
             ch = out_ch
             if level in cfg.attention_levels:
-                block.append(AttnSpec(ch, cfg.transformer_depth))
+                block.append(AttnSpec(ch, cfg.depth_for(level)))
             input_blocks.append(block)
             skip_chs.append(ch)
         if level != len(cfg.channel_mult) - 1:
             input_blocks.append([SampleSpec(ch, "down")])
             skip_chs.append(ch)
 
-    middle = [ResSpec(ch, ch), AttnSpec(ch, cfg.transformer_depth), ResSpec(ch, ch)]
+    mid_depth = cfg.depth_for(len(cfg.channel_mult) - 1)
+    middle = [ResSpec(ch, ch), AttnSpec(ch, mid_depth), ResSpec(ch, ch)]
 
     output_blocks: List[list] = []
     for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -112,7 +136,7 @@ def build_plan(cfg: UNetConfig):
             block = [ResSpec(ch + skip_chs.pop(), out_ch)]
             ch = out_ch
             if level in cfg.attention_levels:
-                block.append(AttnSpec(ch, cfg.transformer_depth))
+                block.append(AttnSpec(ch, cfg.depth_for(level)))
             if level != 0 and i == cfg.num_res_blocks:
                 block.append(SampleSpec(ch, "up"))
             output_blocks.append(block)
@@ -208,6 +232,20 @@ def init(key: jax.Array, cfg: UNetConfig = SD15_CONFIG, dtype=jnp.float32):
                 jax.random.fold_in(k_time, 1), emb_ch, emb_ch, dtype=dtype
             ),
         },
+        **(
+            {
+                "label_emb": {
+                    "fc1": pinit.linear_params(
+                        jax.random.fold_in(k_time, 2), cfg.adm_in_channels, emb_ch, dtype=dtype
+                    ),
+                    "fc2": pinit.linear_params(
+                        jax.random.fold_in(k_time, 3), emb_ch, emb_ch, dtype=dtype
+                    ),
+                }
+            }
+            if cfg.adm_in_channels
+            else {}
+        ),
         "input": [
             _block_init(jax.random.fold_in(k_in, i), b, cfg, emb_ch, dtype)
             for i, b in enumerate(inp)
@@ -319,13 +357,29 @@ def apply(
     timesteps: jax.Array,
     context: jax.Array,
     cfg: UNetConfig = SD15_CONFIG,
+    *,
+    adm_cond: Optional[jax.Array] = None,
 ) -> jax.Array:
     """x (B, H, W, C_in) NHWC latents, timesteps (B,) float, context
-    (B, S, context_dim) -> noise prediction (B, H, W, C_out)."""
+    (B, S, context_dim) -> noise prediction (B, H, W, C_out).
+
+    adm_cond (B, adm_in_channels): SDXL text_time conditioning vector
+    (pooled text embedding ‖ sinusoidal size embeddings)."""
     inp, mid, outp = build_plan(cfg)
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
     emb = ops.linear(t_emb, params["time_embed"]["fc1"]["weight"], params["time_embed"]["fc1"]["bias"])
     emb = ops.linear(ops.silu(emb), params["time_embed"]["fc2"]["weight"], params["time_embed"]["fc2"]["bias"])
+    if cfg.adm_in_channels:
+        assert adm_cond is not None, "SDXL-style config needs adm_cond"
+        a = ops.linear(
+            adm_cond.astype(x.dtype),
+            params["label_emb"]["fc1"]["weight"], params["label_emb"]["fc1"]["bias"],
+        )
+        a = ops.linear(
+            ops.silu(a),
+            params["label_emb"]["fc2"]["weight"], params["label_emb"]["fc2"]["bias"],
+        )
+        emb = emb + a
 
     skips = []
     for p, block in zip(params["input"], inp):
