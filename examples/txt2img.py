@@ -36,6 +36,8 @@ def main():
     p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none",
                    help="weight-only quantization for UNet+VAE")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--sampler", choices=["ddim", "euler", "euler_ancestral",
+                                         "dpmpp_2m"], default="ddim")
     p.add_argument("--timing", action="store_true")
     args = p.parse_args()
 
@@ -88,9 +90,12 @@ def main():
     else:
         ids = make_ids(args.prompt, cfg.clip.max_length)
         uids = make_ids(args.negative_prompt, cfg.clip.max_length)
+        skey = (jax.random.key(args.seed + 1)
+                if args.sampler == "euler_ancestral" else None)
         gen = lambda: sd.generate(params, ids, uids, latent,
                                   jnp.float32(args.guidance),
-                                  num_steps=args.steps, cfg=cfg)
+                                  num_steps=args.steps, cfg=cfg,
+                                  method=args.sampler, key=skey)
 
     import numpy as _np
 

@@ -201,3 +201,34 @@ class TestQuantizeTree:
         err = np.abs(np.asarray(quant) - np.asarray(dense)).mean()
         scale = np.abs(np.asarray(dense)).mean()
         assert err / scale < 0.1, (err, scale)
+
+
+class TestSDXLStateMap:
+    def test_sdxl_roundtrip_via_safetensors(self, tmp_path):
+        from tinyfusers_tpu.pipeline import sdxl
+
+        cfg = sdxl.TINY_XL
+        params = sdxl.init(jax.random.key(0), cfg)
+        state = state_map.sdxl_state_from_params(params, cfg)
+        p = tmp_path / "tiny_xl.safetensors"
+        safetensors_io.save_state_dict(
+            {k: np.asarray(v, np.float32) for k, v in state.items()}, p
+        )
+        loaded = checkpoints.load_sdxl_params(p, cfg, dtype=jnp.float32)
+        tree_allclose(params, loaded)
+
+    def test_openclip_layout_keys(self):
+        """Exported bigG keys must match the original OpenCLIP layout."""
+        from tinyfusers_tpu.models import clip as clip_model
+        from tinyfusers_tpu.pipeline import sdxl
+
+        cfg = sdxl.TINY_XL.clip_g
+        params = clip_model.init(jax.random.key(0), cfg)
+        state = state_map.openclip_to_state(params, cfg, "conditioner.embedders.1.model")
+        pfx = "conditioner.embedders.1.model"
+        assert f"{pfx}.positional_embedding" in state
+        assert f"{pfx}.transformer.resblocks.0.attn.in_proj_weight" in state
+        assert state[f"{pfx}.transformer.resblocks.0.attn.in_proj_weight"].shape == (
+            3 * cfg.dim, cfg.dim)
+        assert f"{pfx}.text_projection" in state
+        assert f"{pfx}.ln_final.weight" in state

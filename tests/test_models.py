@@ -147,3 +147,25 @@ class TestPipeline:
         i1 = sd.generate(params, ids, uids, lat, jnp.float32(1.0), num_steps=2, cfg=cfg)
         i2 = sd.generate(params, ids, uids, lat, jnp.float32(9.0), num_steps=2, cfg=cfg)
         assert not np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestImg2Img:
+    def test_img2img_roundtrip(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        img_in = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3))
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        out = sd.img2img(params, img_in, ids, ids, jax.random.key(4),
+                         jnp.float32(7.5), num_steps=4, start_step=3, cfg=cfg)
+        assert out.shape == (1, 32, 32, 3) and out.dtype == jnp.uint8
+
+    def test_strength_zero_steps_returns_encode_decode(self):
+        """start_step=1 runs a single denoise step — mostly preserves the
+        encoded image structure (smoke: finite + in range)."""
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        img_in = jnp.full((1, 32, 32, 3), 0.5)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        out = sd.img2img(params, img_in, ids, ids, jax.random.key(4),
+                         jnp.float32(1.0), num_steps=4, start_step=1, cfg=cfg)
+        assert out.shape == (1, 32, 32, 3)

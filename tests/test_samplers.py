@@ -1,0 +1,85 @@
+"""Sampler tests.
+
+Core oracle: with a model that perfectly predicts the injected noise
+(eps(x_t, t) = (x_t - sqrt(a_t) x0) / sqrt(1-a_t) for a known x0), every
+consistent sampler must recover x0 (exactly for DDIM/Euler-family in the
+deterministic limit, tightly for multistep)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tinyfusers_tpu.pipeline import ddim, samplers, sd
+
+
+X0 = None
+
+
+def perfect_model(x0):
+    acp = ddim.alphas_cumprod()
+
+    def model_fn(x_t, t):
+        a = acp[t.astype(jnp.int32)]
+        return (x_t - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+    return model_fn
+
+
+@pytest.mark.parametrize("method", ["ddim", "euler", "dpmpp_2m"])
+def test_perfect_eps_recovers_x0(method):
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    out = samplers.sample(perfect_model(x0), noise, 20, method=method)
+    err = float(jnp.abs(out - x0).max())
+    assert err < 0.05, (method, err)
+
+
+def test_euler_ancestral_recovers_x0_statistically():
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    out = samplers.sample(
+        perfect_model(x0), noise, 50, method="euler_ancestral",
+        key=jax.random.key(2),
+    )
+    # injected ancestral noise keeps it stochastic; final sigma -> 0 so
+    # it still lands on x0
+    err = float(jnp.abs(out - x0).max())
+    assert err < 0.2, err
+
+
+def test_unknown_sampler_rejected():
+    with pytest.raises(ValueError):
+        samplers.sample(lambda x, t: x, jnp.zeros((1, 4, 4, 2)), 4,
+                        method="nope")
+
+
+def test_sigma_ladder_monotone():
+    ts, sig = samplers.sigma_ladder(20)
+    s = np.asarray(sig)
+    assert s.shape == (21,)
+    assert np.all(np.diff(s) < 0) and s[-1] == 0.0
+
+
+class TestPipelineIntegration:
+    @pytest.mark.parametrize("method", ["euler", "dpmpp_2m"])
+    def test_generate_with_sampler(self, method):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        img = sd.generate(params, ids, ids, lat, jnp.float32(7.5),
+                          num_steps=3, cfg=cfg, method=method)
+        assert img.shape == (1, 32, 32, 3) and img.dtype == jnp.uint8
+
+    def test_samplers_differ(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        a = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=3, cfg=cfg, method="ddim")
+        b = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=3, cfg=cfg, method="euler")
+        assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -51,3 +51,21 @@ def load_sd_params(path, cfg=None, *, dtype=jnp.bfloat16, shardings=None):
     if shardings is None:
         return jax.tree.map(put, params)
     return jax.tree.map(put, params, shardings)
+
+
+def load_sdxl_params(path, cfg=None, *, dtype=jnp.bfloat16):
+    """SDXL-base checkpoint (.safetensors or torch-zip) -> full
+    {'clip_l','clip_g','unet','vae'} param tree."""
+    from ..pipeline import sdxl as sdxl_pipeline
+
+    cfg = cfg or sdxl_pipeline.SDXL_BASE
+    state = load_state_dict(path)
+    params = state_map.sdxl_params_from_state(state, cfg)
+
+    def put(x):
+        arr = np.asarray(x)
+        if np.issubdtype(arr.dtype, np.floating):
+            return jnp.asarray(arr, dtype=dtype)
+        return jnp.asarray(arr)
+
+    return jax.tree.map(put, params)

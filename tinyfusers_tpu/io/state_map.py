@@ -443,3 +443,159 @@ def sd_state_from_params(params, cfg) -> Dict[str, np.ndarray]:
     out.update(unet_to_state(params["unet"], cfg.unet))
     out.update(vae_to_state(params["vae"], cfg.vae))
     return out
+
+
+# ---------------------------------------------------------------------------
+# SDXL checkpoint mapping.
+# Layout (sd_xl_base safetensors):
+#   conditioner.embedders.0.transformer.text_model.*   CLIP ViT-L (HF layout)
+#   conditioner.embedders.1.model.*                    OpenCLIP bigG (orig layout)
+#   model.diffusion_model.*                            UNet (+ label_emb.0.{0,2})
+#   first_stage_model.*                                VAE (same as SD1.x)
+# ---------------------------------------------------------------------------
+
+def clip_hf_from_state(state, cfg, prefix: str):
+    """HF-layout CLIP text tower under an arbitrary prefix."""
+    remapped = {
+        f"cond_stage_model.transformer.text_model.{k[len(prefix) + 1:]}": v
+        for k, v in state.items()
+        if k.startswith(prefix + ".")
+    }
+    return clip_from_state(remapped, cfg)
+
+
+def openclip_from_state(state, cfg, prefix: str):
+    """OpenCLIP text tower (original layout: fused in_proj qkv,
+    resblocks.{i}, ln_1/ln_2, c_fc/c_proj, ln_final, text_projection) ->
+    our CLIP param tree."""
+    import jax
+
+    def get(k):
+        return state[f"{prefix}.{k}"]
+
+    d = cfg.dim
+
+    def layer(i):
+        lp = f"transformer.resblocks.{i}"
+        in_w = get(f"{lp}.attn.in_proj_weight")  # (3d, d)
+        in_b = get(f"{lp}.attn.in_proj_bias")    # (3d,)
+        qw, kw, vw = in_w[:d], in_w[d:2*d], in_w[2*d:]
+        qb, kb, vb = in_b[:d], in_b[d:2*d], in_b[2*d:]
+        return {
+            "layer_norm1": _norm(get, f"{lp}.ln_1"),
+            "self_attn": {
+                "q_proj": {"weight": np.ascontiguousarray(qw.T), "bias": qb},
+                "k_proj": {"weight": np.ascontiguousarray(kw.T), "bias": kb},
+                "v_proj": {"weight": np.ascontiguousarray(vw.T), "bias": vb},
+                "out_proj": _linear(get, f"{lp}.attn.out_proj"),
+            },
+            "layer_norm2": _norm(get, f"{lp}.ln_2"),
+            "mlp": {
+                "fc1": _linear(get, f"{lp}.mlp.c_fc"),
+                "fc2": _linear(get, f"{lp}.mlp.c_proj"),
+            },
+        }
+
+    import jax as _jax
+
+    layers = [layer(i) for i in range(cfg.num_layers)]
+    stacked = _jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    params = {
+        "token_embedding": {"weight": get("token_embedding.weight")},
+        # OpenCLIP stores positional_embedding as a bare parameter.
+        "position_embedding": {"weight": get("positional_embedding")},
+        "layers": stacked,
+        "final_layer_norm": _norm(get, "ln_final"),
+    }
+    if cfg.projection_dim:
+        # text_projection is applied as x @ W -> already (in, out).
+        params["text_projection"] = {"weight": get("text_projection")}
+    return params
+
+
+def sdxl_unet_from_state(state, cfg):
+    """SDXL UNet: the SD mapping plus the label_emb (ADM) MLP."""
+    params = unet_from_state(state, cfg)
+    if cfg.adm_in_channels:
+        prefix = "model.diffusion_model"
+
+        def get(k):
+            return state[f"{prefix}.{k}"]
+
+        params["label_emb"] = {
+            "fc1": _linear(get, "label_emb.0.0"),
+            "fc2": _linear(get, "label_emb.0.2"),
+        }
+    return params
+
+
+def openclip_to_state(params, cfg, prefix: str):
+    """Inverse of openclip_from_state (fixture/export side)."""
+    out = {}
+    out[f"{prefix}.token_embedding.weight"] = np.asarray(
+        params["token_embedding"]["weight"])
+    out[f"{prefix}.positional_embedding"] = np.asarray(
+        params["position_embedding"]["weight"])
+    for i in range(cfg.num_layers):
+        layer = _tree_index(params["layers"], i)
+        lp = f"{prefix}.transformer.resblocks.{i}"
+        _put_norm(out, f"{lp}.ln_1", layer["layer_norm1"])
+        sa = layer["self_attn"]
+        qw = np.asarray(sa["q_proj"]["weight"]).T
+        kw = np.asarray(sa["k_proj"]["weight"]).T
+        vw = np.asarray(sa["v_proj"]["weight"]).T
+        out[f"{lp}.attn.in_proj_weight"] = np.ascontiguousarray(
+            np.concatenate([qw, kw, vw], axis=0))
+        out[f"{lp}.attn.in_proj_bias"] = np.concatenate([
+            np.asarray(sa["q_proj"]["bias"]),
+            np.asarray(sa["k_proj"]["bias"]),
+            np.asarray(sa["v_proj"]["bias"]),
+        ])
+        _put_linear(out, f"{lp}.attn.out_proj", sa["out_proj"])
+        _put_norm(out, f"{lp}.ln_2", layer["layer_norm2"])
+        _put_linear(out, f"{lp}.mlp.c_fc", layer["mlp"]["fc1"])
+        _put_linear(out, f"{lp}.mlp.c_proj", layer["mlp"]["fc2"])
+    _put_norm(out, f"{prefix}.ln_final", params["final_layer_norm"])
+    if "text_projection" in params:
+        out[f"{prefix}.text_projection"] = np.asarray(
+            params["text_projection"]["weight"])
+    return out
+
+
+def clip_hf_to_state(params, cfg, prefix: str):
+    base = clip_to_state(params, cfg)
+    old = "cond_stage_model.transformer.text_model"
+    return {f"{prefix}.{k[len(old) + 1:]}": v for k, v in base.items()}
+
+
+def sdxl_unet_to_state(params, cfg):
+    out = unet_to_state(params, cfg)
+    if cfg.adm_in_channels:
+        _put_linear(out, "model.diffusion_model.label_emb.0.0",
+                    params["label_emb"]["fc1"])
+        _put_linear(out, "model.diffusion_model.label_emb.0.2",
+                    params["label_emb"]["fc2"])
+    return out
+
+
+def sdxl_state_from_params(params, cfg):
+    out = {}
+    out.update(clip_hf_to_state(
+        params["clip_l"], cfg.clip_l,
+        "conditioner.embedders.0.transformer.text_model"))
+    out.update(openclip_to_state(
+        params["clip_g"], cfg.clip_g, "conditioner.embedders.1.model"))
+    out.update(sdxl_unet_to_state(params["unet"], cfg.unet))
+    out.update(vae_to_state(params["vae"], cfg.vae))
+    return out
+
+
+def sdxl_params_from_state(state, cfg):
+    return {
+        "clip_l": clip_hf_from_state(
+            state, cfg.clip_l, "conditioner.embedders.0.transformer.text_model"),
+        "clip_g": openclip_from_state(
+            state, cfg.clip_g, "conditioner.embedders.1.model"),
+        "unet": sdxl_unet_from_state(state, cfg.unet),
+        "vae": vae_from_state(state, cfg.vae),
+    }

@@ -1,0 +1,145 @@
+"""Sampler / scheduler family.
+
+The reference hard-codes a single DDIM eta=0 update inside its pipeline
+(variants/sd.py:14-25, "sampler is DDIM-only, no scheduler abstraction" —
+SURVEY.md §2.4). Here samplers are a family of scan-compatible step
+functions over the k-diffusion sigma parameterization:
+
+    x_t = sqrt(a_t) * x0 + sqrt(1-a_t) * n      (DDPM space)
+    X   = x_t / sqrt(a_t) = x0 + sigma * n      (sigma space),
+    sigma = sqrt((1-a_t)/a_t)
+
+All samplers consume ``model_fn(x_ddpm, t_float) -> eps`` (the UNet + CFG
+closure, called with DDPM-space input so the network sees what it was
+trained on) and run entirely inside one jitted lax.scan.
+
+Implemented: euler, euler_ancestral, dpmpp_2m (2nd-order multistep),
+plus ddim re-expressed in this interface for uniformity.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import ddim as ddim_mod
+
+SAMPLERS = ("ddim", "euler", "euler_ancestral", "dpmpp_2m")
+
+
+def sigma_ladder(num_steps: int):
+    """Descending sigmas aligned with the reversed DDIM timestep ladder,
+    with a terminal 0. Returns (timesteps_desc, sigmas (num_steps+1,))."""
+    acp = ddim_mod.alphas_cumprod()
+    ts = ddim_mod.ddim_timesteps(num_steps)[::-1]  # descending t
+    a = acp[ts]
+    sigmas = jnp.sqrt((1.0 - a) / a)
+    return ts, jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)])
+
+
+def _to_model_input(X, sigma):
+    # DDPM-space input: x_t = X / sqrt(1 + sigma^2)
+    return X / jnp.sqrt(1.0 + sigma**2)
+
+
+def _denoised(X, sigma, eps):
+    return X - sigma * eps
+
+
+def sample(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    latent: jax.Array,
+    num_steps: int,
+    *,
+    method: str = "euler",
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run ``num_steps`` of the chosen sampler.
+
+    latent: standard-normal initial noise (DDPM convention, as in
+    sd.initial_latent). Returns the final denoised latent (DDPM space,
+    i.e. x0 — alphas at sigma=0 coincide).
+    """
+    if method == "ddim":
+        return _sample_ddim(model_fn, latent, num_steps)
+    ts, sigmas = sigma_ladder(num_steps)
+    lat32 = latent.astype(jnp.float32)
+    X = lat32 * jnp.sqrt(1.0 + sigmas[0] ** 2)  # lift N(0,1) into sigma space
+
+    if method == "euler":
+        def body(carry, i):
+            X = carry
+            sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
+                           t.astype(jnp.float32)).astype(jnp.float32)
+            X = X + eps * (sig_next - sig)
+            return X, None
+
+        X, _ = jax.lax.scan(body, X, jnp.arange(num_steps))
+        return X.astype(latent.dtype)
+
+    if method == "euler_ancestral":
+        assert key is not None, "euler_ancestral needs a PRNG key"
+
+        def body(carry, i):
+            X, k = carry
+            sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
+                           t.astype(jnp.float32)).astype(jnp.float32)
+            # ancestral split of the step variance
+            var_up = sig_next**2 * (sig**2 - sig_next**2) / jnp.maximum(sig**2, 1e-12)
+            sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+            sigma_down = jnp.sqrt(jnp.maximum(sig_next**2 - sigma_up**2, 0.0))
+            X = X + eps * (sigma_down - sig)
+            k, sub = jax.random.split(k)
+            X = X + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
+            return (X, k), None
+
+        (X, _), _ = jax.lax.scan(body, (X, key), jnp.arange(num_steps))
+        return X.astype(latent.dtype)
+
+    if method == "dpmpp_2m":
+        def body(carry, i):
+            X, old_den, have_old = carry
+            sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
+                           t.astype(jnp.float32)).astype(jnp.float32)
+            den = _denoised(X, sig, eps)
+            # log-sigma time; guard the terminal sigma=0 with a floor, the
+            # ratio sig_next/sig -> 0 makes the update exact there anyway.
+            lt = -jnp.log(jnp.maximum(sig, 1e-10))
+            lt_next = -jnp.log(jnp.maximum(sig_next, 1e-10))
+            h = lt_next - lt
+            sig_prev = sigmas[jnp.maximum(i - 1, 0)]
+            lt_prev = -jnp.log(jnp.maximum(sig_prev, 1e-10))
+            h_last = lt - lt_prev
+            r = h_last / jnp.maximum(h, 1e-10)
+            den2 = jnp.where(
+                have_old,
+                (1.0 + 1.0 / (2.0 * r)) * den - (1.0 / (2.0 * r)) * old_den,
+                den,
+            )
+            X = (sig_next / jnp.maximum(sig, 1e-12)) * X - jnp.expm1(-h) * den2
+            return (X, den, jnp.bool_(True)), None
+
+        init = (X, jnp.zeros_like(X), jnp.bool_(False))
+        (X, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+        return X.astype(latent.dtype)
+
+    raise ValueError(f"unknown sampler {method!r}; options: {SAMPLERS}")
+
+
+def _sample_ddim(model_fn, latent, num_steps):
+    """DDIM via the shared interface (same math as ddim.ddim_step)."""
+    timesteps = ddim_mod.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim_mod.ddim_alphas(num_steps)
+    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
+
+    def body(lat, x):
+        t, a_t, a_prev = x
+        eps = model_fn(lat, t.astype(jnp.float32))
+        return ddim_mod.ddim_step(lat, eps, a_t, a_prev), None
+
+    lat, _ = jax.lax.scan(body, latent, xs)
+    return lat

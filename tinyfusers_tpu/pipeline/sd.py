@@ -100,25 +100,29 @@ def sample_latents(
     num_steps: int,
     guidance,
     cfg: SDConfig = SD15,
+    method: str = "ddim",
+    key=None,
 ) -> jax.Array:
-    """Full DDIM sampling as one lax.scan (jit-friendly; num_steps static)."""
+    """Full sampling as one lax.scan (jit-friendly; num_steps static).
+
+    method: any of pipeline.samplers.SAMPLERS ("ddim", "euler",
+    "euler_ancestral", "dpmpp_2m")."""
+    from . import samplers
+
     guidance = jnp.asarray(guidance, jnp.float32)
     context2 = jnp.concatenate([uncond_context, context], axis=0)
-    timesteps = ddim.ddim_timesteps(num_steps)
-    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
-    # Reverse: iterate from the noisiest timestep down.
-    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
+    b = latent.shape[0]
 
-    def body(lat, x):
-        t, a_t, a_prev = x
-        lat = denoise_step(unet_params, lat, t, context2, guidance, a_t, a_prev, cfg)
-        return lat, None
+    def model_fn(lat, t):
+        lat2 = jnp.concatenate([lat, lat], axis=0)
+        t2 = jnp.broadcast_to(t, (2 * b,))
+        eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+        return ddim.cfg_combine(eps[:b], eps[b:], guidance)
 
-    latent, _ = jax.lax.scan(body, latent, xs)
-    return latent
+    return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
 
 
-@partial(jax.jit, static_argnames=("num_steps", "cfg"))
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method"))
 def generate(
     params,
     input_ids: jax.Array,
@@ -128,17 +132,20 @@ def generate(
     *,
     num_steps: int = 20,
     cfg: SDConfig = SD15,
+    method: str = "ddim",
+    key=None,
 ) -> jax.Array:
     """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
 
-    One compiled program: CLIP (cond+uncond), scanned DDIM loop, VAE
-    decode, postprocess.
+    One compiled program: CLIP (cond+uncond), scanned sampler loop, VAE
+    decode, postprocess. method selects the sampler (pipeline.samplers).
     """
     ctx = encode_text(params, input_ids, cfg)
     uctx = encode_text(params, uncond_ids, cfg)
     latent = sample_latents(
         params["unet"], latent, ctx, uctx,
-        num_steps=num_steps, guidance=guidance, cfg=cfg,
+        num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
+        key=key,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
@@ -146,3 +153,57 @@ def generate(
 
 def initial_latent(key: jax.Array, batch: int, cfg: SDConfig = SD15, dtype=jnp.float32):
     return jax.random.normal(key, (batch, *cfg.latent_shape), dtype)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "start_step", "cfg"))
+def img2img(
+    params,
+    image: jax.Array,
+    input_ids: jax.Array,
+    uncond_ids: jax.Array,
+    key: jax.Array,
+    guidance: jax.Array,
+    *,
+    num_steps: int = 20,
+    start_step: int = 15,   # how many ladder steps to actually run
+    cfg: SDConfig = SD15,
+) -> jax.Array:
+    """Image-to-image: encode -> noise to an intermediate timestep ->
+    denoise the tail of the DDIM ladder -> decode.
+
+    image: (B, H, W, 3) float in [0, 1] (or uint8). start_step/num_steps
+    is the usual "strength" (0.75 * 20 = 15). Uses the VAE *encoder* —
+    present but dead code in the reference (vae/encoder.py:12-34 is never
+    called by its pipeline).
+    """
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
+    dtype = jax.tree.leaves(params["unet"])[0].dtype
+    x = (image.astype(jnp.float32) * 2.0 - 1.0).astype(dtype)
+    z0 = vae.encode(params["vae"], x, cfg.vae)
+
+    ctx = encode_text(params, input_ids, cfg)
+    uctx = encode_text(params, uncond_ids, cfg)
+    context2 = jnp.concatenate([uctx, ctx], axis=0)
+    guidance = jnp.asarray(guidance, jnp.float32)
+
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    k = min(start_step, num_steps)
+    # Noise z0 to the ladder position we start from.
+    t0 = timesteps[k - 1]
+    a0 = alphas[k - 1]
+    noise = jax.random.normal(key, z0.shape, z0.dtype)
+    lat = (jnp.sqrt(a0) * z0.astype(jnp.float32)
+           + jnp.sqrt(1.0 - a0) * noise.astype(jnp.float32)).astype(dtype)
+
+    xs = (timesteps[:k][::-1], alphas[:k][::-1], alphas_prev[:k][::-1])
+
+    def body(l, s):
+        t, a_t, a_prev = s
+        return denoise_step(params["unet"], l, t, context2, guidance,
+                            a_t, a_prev, cfg), None
+
+    lat, _ = jax.lax.scan(body, lat, xs)
+    img = vae.decode(params["vae"], lat, cfg.vae)
+    return vae.to_image(img)
