@@ -100,3 +100,44 @@ class TestEngine:
             eng.submit(r)
         results = eng.run_until_idle()
         assert sorted(r.request_id for r in results) == [r.request_id for r in reqs]
+
+
+class TestShardedEngine:
+    def test_sharded_engine_matches_unsharded(self):
+        """4 slots over a 4-way data axis + 2-way TP: completed images must
+        match the single-device engine (±1 uint8 level — TP all-reduce
+        reorders float sums, which can flip a pixel at a rounding edge)."""
+        from tinyfusers_tpu import parallel
+
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+
+        ids = np.full((cfg.clip.max_length,), 5, np.int32)
+        uids = np.zeros((cfg.clip.max_length,), np.int32)
+
+        def run(engine):
+            for seed in range(3):
+                engine.submit(engine.make_request(ids, uids, num_steps=2,
+                                                  seed=seed))
+            return {r.request_id: r.image for r in engine.run_until_idle()}
+
+        plain = run(Engine(params, cfg, num_slots=4))
+
+        mesh = parallel.make_mesh(model=2)
+        sp = {k: parallel.shard_params(v, mesh) for k, v in params.items()}
+        with jax.set_mesh(mesh):
+            sharded = run(Engine(sp, cfg, num_slots=4, mesh=mesh))
+
+        assert plain.keys() == sharded.keys()
+        for k in plain:
+            diff = np.abs(plain[k].astype(np.int16) - sharded[k].astype(np.int16))
+            assert diff.max() <= 1, diff.max()
+            assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+    def test_distributed_helpers_single_process(self):
+        from tinyfusers_tpu.parallel import distributed
+
+        assert distributed.initialize() is False
+        mesh = distributed.hybrid_mesh(model=2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        assert distributed.sync_decision({"a": 1})["a"] == 1

@@ -142,10 +142,17 @@ class Engine:
         *,
         num_slots: int = 4,
         prefer_native: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh (data, model). Slots shard
+        over the data axis, params should already be TP-sharded
+        (parallel.shard_params) over the model axis. For multi-host use,
+        the scheduler's admissions must be identical on all processes
+        (parallel.distributed.sync_decision)."""
         self.params = params
         self.cfg = cfg
         self.S = num_slots
+        self.mesh = mesh
         self.core = make_scheduler_core(num_slots, prefer_native)
         h, w, c = cfg.latent_shape
         dtype = jax.tree.leaves(params["unet"])[0].dtype
@@ -155,6 +162,17 @@ class Engine:
         d = cfg.clip.dim
         # contexts layout: [uncond(S) ‖ cond(S)] to match denoise batching
         self.contexts = jnp.zeros((2 * num_slots, t, d), dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import DATA_AXIS
+
+            assert num_slots % mesh.shape[DATA_AXIS] == 0, (
+                "num_slots must divide evenly over the data axis"
+            )
+            data_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self.latents = jax.device_put(self.latents, data_sh)
+            self.contexts = jax.device_put(self.contexts, data_sh)
         self.guidance = np.zeros((num_slots,), np.float32)
         self._steps_total: Dict[int, int] = {}   # slot -> total steps
         self._ladders: Dict[int, np.ndarray] = {}  # per distinct num_steps
