@@ -63,3 +63,43 @@ class TestFlashAttention:
         q = rand(0, 1, 128, 64)
         with pytest.raises(ValueError):
             flash_attention(q, q, q, mask=jnp.ones((128, 128)))
+
+
+class TestQuantMatmul:
+    def test_matches_xla_fallback(self):
+        from tinyfusers_tpu.kernels.quant_matmul import quant_matmul
+        from tinyfusers_tpu import ops
+
+        x = jax.random.normal(jax.random.key(0), (3, 300, 256), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (256, 192), jnp.float32)
+        b = jax.random.normal(jax.random.key(2), (192,), jnp.float32)
+        qw = ops.quantize(w, jnp.int8, axis=-1)
+        want = ops.linear(x, qw, b)
+        got = quant_matmul(x, qw, b, block_m=128, block_n=128, block_k=128,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_no_bias(self):
+        from tinyfusers_tpu.kernels.quant_matmul import quant_matmul
+        from tinyfusers_tpu import ops
+
+        x = jax.random.normal(jax.random.key(0), (64, 128), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (128, 128), jnp.float32)
+        qw = ops.quantize(w, jnp.int8, axis=-1)
+        want = ops.linear(x, qw)
+        got = quant_matmul(x, qw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_fp8_weights(self):
+        from tinyfusers_tpu.kernels.quant_matmul import quant_matmul
+        from tinyfusers_tpu import ops
+
+        x = jax.random.normal(jax.random.key(0), (32, 128), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (128, 128), jnp.float32)
+        qw = ops.quantize(w, jnp.float8_e4m3fn, axis=-1)
+        want = ops.linear(x, qw)
+        got = quant_matmul(x, qw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-3, rtol=5e-2)

@@ -52,10 +52,12 @@ def conv2d(
     ``w`` may be a QuantizedTensor quantized per output channel, in which
     case scales are applied to the conv output (exact for per-O scaling).
     """
+    from .policy import accum_dtype
     from .quant import QuantizedTensor
 
     if compute_dtype is None:
         compute_dtype = x.dtype
+    acc = accum_dtype(compute_dtype)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):
@@ -75,12 +77,12 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
     if scales is not None:
-        y = y * scales.reshape(1, 1, 1, -1)
+        y = y * scales.reshape(1, 1, 1, -1).astype(acc)
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(acc)
     return y.astype(compute_dtype)
 
 

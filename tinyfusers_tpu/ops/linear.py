@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .policy import accum_dtype
 from .quant import QuantizedTensor
 
 
@@ -37,20 +38,32 @@ def linear(
     """
     if compute_dtype is None:
         compute_dtype = x.dtype
+    acc = accum_dtype(compute_dtype)
     if isinstance(w, QuantizedTensor):
+        from .policy import quant_kernel
+
+        if quant_kernel() and w.values.ndim == 2:
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover
+                on_tpu = False
+            if on_tpu:
+                from ..kernels.quant_matmul import quant_matmul
+
+                return quant_matmul(x.astype(compute_dtype), w, b)
         y = jnp.dot(
             x.astype(compute_dtype),
             w.values.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
         # scales shape (1, out) -> broadcast over leading dims of y.
-        y = y * w.scales.reshape((1,) * (y.ndim - 1) + (-1,))
+        y = y * w.scales.reshape((1,) * (y.ndim - 1) + (-1,)).astype(acc)
     else:
         y = jnp.dot(
             x.astype(compute_dtype),
             w.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(acc)
     return y.astype(compute_dtype)

@@ -51,17 +51,33 @@ def group_norm(
     Matches reference ff/group_norm.py semantics: per-(sample, group)
     mean/variance over all spatial positions and the group's channels,
     normalize, then affine scale/shift per channel.
+
+    Under the fast-accum policy (ops/policy.py) the reductions still run
+    in fp32 (tiny outputs) but the big elementwise normalize runs in the
+    input dtype — halves the activation traffic of each norm.
     """
+    from .policy import fast_accum
+
     dtype = x.dtype
     orig_shape = x.shape
     n = orig_shape[0]
     c = orig_shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    xg = x.reshape(n, -1, num_groups, c // num_groups)
+    xf = xg.astype(jnp.float32)
     # Reduce over spatial (axis 1) and within-group channels (axis 3).
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    rstd = jax.lax.rsqrt(var + eps)
+    if fast_accum() and dtype != jnp.float32:
+        y = (xg - mean.astype(dtype)) * rstd.astype(dtype)
+        y = y.reshape(orig_shape)
+        if weight is not None:
+            y = y * weight.astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+    y = (xf - mean) * rstd
     y = y.reshape(orig_shape)
     if weight is not None:
         y = y * weight.astype(jnp.float32)

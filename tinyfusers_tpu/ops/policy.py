@@ -1,0 +1,45 @@
+"""Numerics policy knobs for the ops layer.
+
+accum_dtype():
+  float32 (default) — matmuls/convs request fp32 accumulation via
+  preferred_element_type and bias/scale epilogues run in fp32. Safest.
+  None ("fast") — preferred_element_type follows the compute dtype; on
+  backends that would otherwise materialize fp32 intermediates between
+  fused regions this halves activation traffic. Set
+  TINYFUSERS_FAST_ACCUM=1 or call set_fast_accum(True).
+
+MXU accumulation is fp32 internally on TPU either way; this only governs
+the dtype of values leaving a fused region.
+"""
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+_fast = os.environ.get("TINYFUSERS_FAST_ACCUM", "0") not in ("0", "", "false")
+_quant_kernel = os.environ.get("TINYFUSERS_QUANT_KERNEL", "0") not in ("0", "", "false")
+
+
+def set_fast_accum(on: bool) -> None:
+    global _fast
+    _fast = on
+
+
+def fast_accum() -> bool:
+    return _fast
+
+
+def accum_dtype(compute_dtype):
+    return compute_dtype if _fast else jnp.float32
+
+
+def set_quant_kernel(on: bool) -> None:
+    """Route quantized linears through the Pallas fused dequant-matmul
+    (kernels/quant_matmul.py) instead of the XLA epilogue fallback."""
+    global _quant_kernel
+    _quant_kernel = on
+
+
+def quant_kernel() -> bool:
+    return _quant_kernel
