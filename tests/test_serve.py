@@ -141,3 +141,53 @@ class TestShardedEngine:
         mesh = distributed.hybrid_mesh(model=2)
         assert dict(mesh.shape) == {"data": 4, "model": 2}
         assert distributed.sync_decision({"a": 1})["a"] == 1
+
+
+class TestRouter:
+    def test_mixed_models_complete(self):
+        from tinyfusers_tpu.pipeline import sdxl
+        from tinyfusers_tpu.serve import Router
+
+        cfg_sd = sd.TINY
+        params_sd = sd.init(jax.random.key(0), cfg_sd)
+        # second "family": same arch but separate engine (stands in for
+        # SDXL's separate static shapes)
+        eng_a = Engine(params_sd, cfg_sd, num_slots=2)
+        eng_b = Engine(params_sd, cfg_sd, num_slots=1)
+        router = Router({"a": eng_a, "b": eng_b})
+
+        ids = np.full((cfg_sd.clip.max_length,), 3, np.int32)
+        uids = np.zeros_like(ids)
+        rids = []
+        for i in range(3):
+            rids.append(router.submit("a" if i % 2 == 0 else "b", ids, uids,
+                                      num_steps=2, seed=i))
+        results = router.run_until_idle()
+        assert sorted(r.request_id for r in results) == sorted(rids)
+        h = router.health()
+        assert h["a"]["failures"] == 0 and h["b"]["failures"] == 0
+
+    def test_engine_failure_retries(self, monkeypatch):
+        from tinyfusers_tpu.serve import Router
+
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        eng = Engine(params, cfg, num_slots=1)
+        router = Router({"m": eng}, max_retries=1)
+        ids = np.full((cfg.clip.max_length,), 3, np.int32)
+        rid = router.submit("m", ids, np.zeros_like(ids), num_steps=2)
+
+        # first tick blows up; router must rebuild the engine + requeue
+        calls = {"n": 0}
+        orig_step = Engine.step
+
+        def flaky_step(self):
+            if calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("injected device failure")
+            return orig_step(self)
+
+        monkeypatch.setattr(Engine, "step", flaky_step)
+        results = router.run_until_idle()
+        assert [r.request_id for r in results] == [rid]
+        assert router.health()["m"]["failures"] == 1
