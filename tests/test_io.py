@@ -160,8 +160,9 @@ class TestStateMapRoundtrip:
         """Spot-check that full-size export produces the canonical SD v1
         key strings (what real checkpoints contain)."""
         cfg = sd.SD15
-        # init only the unet (full size) — cheap enough at init time
-        params = unet.init(jax.random.key(0), cfg.unet)
+        # shapes only — zeros via eval_shape instead of real RNG init
+        shapes = jax.eval_shape(lambda: unet.init(jax.random.key(0), cfg.unet))
+        params = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
         state = state_map.unet_to_state(params, cfg.unet)
         for key, shape in [
             ("model.diffusion_model.input_blocks.0.0.weight", (320, 4, 3, 3)),

@@ -169,3 +169,28 @@ class TestImg2Img:
         out = sd.img2img(params, img_in, ids, ids, jax.random.key(4),
                          jnp.float32(1.0), num_steps=4, start_step=1, cfg=cfg)
         assert out.shape == (1, 32, 32, 3)
+
+
+class TestInpaint:
+    def test_inpaint_preserves_unmasked_region(self):
+        cfg = sd.SDConfig(
+            clip=sd.TINY.clip,
+            unet=unet.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                                 attention_levels=(0, 1), context_dim=32,
+                                 num_heads=4, num_groups=8, in_channels=9),
+            vae=sd.TINY.vae, height=32, width=32,
+        )
+        params = sd.init(jax.random.key(0), cfg)
+        image = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3))
+        mask = jnp.zeros((1, 32, 32, 1)).at[:, 8:24, 8:24, :].set(1.0)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(2), 1, cfg)
+        out = sd.inpaint(params, image, mask, ids, ids, lat,
+                         jnp.float32(7.5), num_steps=2, cfg=cfg)
+        assert out.shape == (1, 32, 32, 3) and out.dtype == jnp.uint8
+        src = np.asarray(jnp.clip(image, 0, 1) * 255).astype(np.uint8)
+        got = np.asarray(out)
+        # unmasked corner must be the source pixels verbatim
+        np.testing.assert_array_equal(got[:, :8, :8], src[:, :8, :8])
+        # the repainted hole should differ from the source
+        assert not np.array_equal(got[:, 8:24, 8:24], src[:, 8:24, 8:24])

@@ -60,6 +60,9 @@ SD15_CONFIG = UNetConfig()
 # SD 2.x: OpenCLIP-H conditioning (1024-d context), fixed 64-d heads.
 SD21_CONFIG = UNetConfig(context_dim=1024, num_heads=-1, head_dim=64)
 
+# SD 1.5 inpainting: UNet input = latent(4) + mask(1) + masked-latent(4).
+SD15_INPAINT_CONFIG = UNetConfig(in_channels=9)
+
 # SDXL-base: 3 levels, transformer depths (0, 2, 10), dual-text 2048-d
 # context, pooled-text+size ADM conditioning (2816 = 1280 + 6*256).
 SDXL_CONFIG = UNetConfig(

@@ -155,6 +155,64 @@ def initial_latent(key: jax.Array, batch: int, cfg: SDConfig = SD15, dtype=jnp.f
     return jax.random.normal(key, (batch, *cfg.latent_shape), dtype)
 
 
+@partial(jax.jit, static_argnames=("num_steps", "cfg"))
+def inpaint(
+    params,
+    image: jax.Array,
+    mask: jax.Array,
+    input_ids: jax.Array,
+    uncond_ids: jax.Array,
+    latent: jax.Array,
+    guidance: jax.Array,
+    *,
+    num_steps: int = 20,
+    cfg: SDConfig = SD15,
+) -> jax.Array:
+    """Inpainting with a 9-channel UNet (SD15_INPAINT_CONFIG):
+    per-step input = [x_t(4) ‖ mask(1) ‖ VAE(masked image)(4)].
+
+    image (B, H, W, 3) in [0,1]; mask (B, H, W, 1), 1 = repaint;
+    latent: initial noise from initial_latent()."""
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
+    dtype = jax.tree.leaves(params["unet"])[0].dtype
+    masked = image.astype(jnp.float32) * (1.0 - mask.astype(jnp.float32))
+    z_masked = vae.encode(params["vae"], (masked * 2.0 - 1.0).astype(dtype), cfg.vae)
+    f = cfg.vae.downsample_factor
+    mask_small = jax.image.resize(
+        mask.astype(jnp.float32),
+        (mask.shape[0], mask.shape[1] // f, mask.shape[2] // f, 1),
+        method="nearest",
+    ).astype(dtype)
+
+    ctx = encode_text(params, input_ids, cfg)
+    uctx = encode_text(params, uncond_ids, cfg)
+    context2 = jnp.concatenate([uctx, ctx], axis=0)
+    guidance = jnp.asarray(guidance, jnp.float32)
+    b = latent.shape[0]
+
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
+
+    def body(lat, s):
+        t, a_t, a_prev = s
+        nine = jnp.concatenate([lat, mask_small, z_masked], axis=-1)
+        nine2 = jnp.concatenate([nine, nine], axis=0)
+        t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
+        eps = unet.apply(params["unet"], nine2, t2, context2, cfg.unet)
+        e_t = ddim.cfg_combine(eps[:b], eps[b:], guidance)
+        return ddim.ddim_step(lat, e_t, a_t, a_prev), None
+
+    lat, _ = jax.lax.scan(body, latent, xs)
+    img = vae.decode(params["vae"], lat, cfg.vae)
+    out = vae.to_image(img)
+    # paste the unmasked region back from the source image
+    keep = (mask <= 0.5)
+    src = (jnp.clip(image, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return jnp.where(keep, src, out)
+
+
 @partial(jax.jit, static_argnames=("num_steps", "start_step", "cfg"))
 def img2img(
     params,
