@@ -1,1 +1,2 @@
 from . import clip, dit, unet, vae  # noqa: F401
+from . import mmdit  # noqa: F401

@@ -1,0 +1,200 @@
+"""MMDiT: multimodal diffusion transformer (SD3-style backbone).
+
+Extends models/dit.py to the SD3 architecture family: two token streams
+(image patches and text context), each with its own projections and
+adaLN-Zero modulation, coupled through **joint attention** over the
+concatenation of both streams' q/k/v. Covers the BASELINE "SD3 / DiT-
+style transformer backbone" config. No reference analog (UNet-only).
+
+TPU-first structure mirrors dit.py: identical blocks stacked for
+lax.scan, ops.sdpa for the joint attention (flash kernel at large token
+counts), fixed sin-cos positions for patches.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..utils import init as pinit
+from .dit import _pos_embed_2d
+from .unet import timestep_embedding
+
+
+@dataclass(frozen=True)
+class MMDiTConfig:
+    input_size: int = 128          # latent H = W (SD3: 1024px / 8)
+    patch_size: int = 2
+    in_channels: int = 16          # SD3 VAE latent channels
+    out_channels: int = 16
+    dim: int = 1536                # SD3-medium
+    depth: int = 24
+    num_heads: int = 24
+    mlp_ratio: int = 4
+    context_dim: int = 4096        # joint text embedding width
+    pooled_dim: int = 2048         # pooled CLIP-L+G conditioning
+    context_len: int = 77
+
+
+SD3_MEDIUM = MMDiTConfig()
+
+TINY_MMDIT = MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                         out_channels=4, dim=64, depth=2, num_heads=4,
+                         context_dim=32, pooled_dim=16, context_len=8)
+
+
+def _stream_block_init(key, cfg: MMDiTConfig, dtype):
+    ks = jax.random.split(key, 4)
+    d = cfg.dim
+    return {
+        "mod": {
+            "weight": jnp.zeros((d, 6 * d), dtype),
+            "bias": jnp.zeros((6 * d,), dtype),
+        },
+        "qkv": pinit.linear_params(ks[0], d, 3 * d, dtype=dtype),
+        "proj": pinit.linear_params(ks[1], d, d, dtype=dtype),
+        "mlp": {
+            "fc1": pinit.linear_params(ks[2], d, cfg.mlp_ratio * d, dtype=dtype),
+            "fc2": pinit.linear_params(ks[3], cfg.mlp_ratio * d, d, dtype=dtype),
+        },
+    }
+
+
+def _block_init(key, cfg: MMDiTConfig, dtype):
+    ka, kb = jax.random.split(key)
+    return {"img": _stream_block_init(ka, cfg, dtype),
+            "txt": _stream_block_init(kb, cfg, dtype)}
+
+
+def init(key: jax.Array, cfg: MMDiTConfig = SD3_MEDIUM, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    p = cfg.patch_size
+    return {
+        "patch_embed": pinit.conv_params(ks[0], cfg.in_channels, cfg.dim, p, dtype=dtype),
+        "context_embed": pinit.linear_params(ks[1], cfg.context_dim, cfg.dim, dtype=dtype),
+        "time_mlp": {
+            "fc1": pinit.linear_params(ks[2], 256, cfg.dim, dtype=dtype),
+            "fc2": pinit.linear_params(ks[3], cfg.dim, cfg.dim, dtype=dtype),
+        },
+        "pooled_mlp": {
+            "fc1": pinit.linear_params(ks[4], cfg.pooled_dim, cfg.dim, dtype=dtype),
+            "fc2": pinit.linear_params(ks[5], cfg.dim, cfg.dim, dtype=dtype),
+        },
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_block_init(jax.random.fold_in(ks[6], i), cfg, dtype)
+              for i in range(cfg.depth)],
+        ),
+        "final": {
+            "mod": {
+                "weight": jnp.zeros((cfg.dim, 2 * cfg.dim), dtype),
+                "bias": jnp.zeros((2 * cfg.dim,), dtype),
+            },
+            "proj": {
+                "weight": jnp.zeros((cfg.dim, p * p * cfg.out_channels), dtype),
+                "bias": jnp.zeros((p * p * cfg.out_channels,), dtype),
+            },
+        },
+    }
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _stream_pre(p, x, c):
+    """Pre-attention: modulated LN + qkv. Returns (q,k,v, gates, mods)."""
+    mod = ops.linear(ops.silu(c), p["mod"]["weight"], p["mod"]["bias"])
+    sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
+    h = _modulate(ops.layer_norm(x), sh1, sc1)
+    qkv = ops.linear(h, p["qkv"]["weight"], p["qkv"]["bias"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return q, k, v, (g1, sh2, sc2, g2)
+
+
+def _heads(x, n):
+    b, t, d = x.shape
+    return x.reshape(b, t, n, d // n).transpose(0, 2, 1, 3)
+
+
+def _unheads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def _stream_post(p, x, attn_out, gates):
+    g1, sh2, sc2, g2 = gates
+    o = ops.linear(attn_out, p["proj"]["weight"], p["proj"]["bias"])
+    x = x + g1[:, None, :] * o
+    h = _modulate(ops.layer_norm(x), sh2, sc2)
+    h = ops.linear(h, p["mlp"]["fc1"]["weight"], p["mlp"]["fc1"]["bias"])
+    h = ops.gelu_tanh(h)
+    h = ops.linear(h, p["mlp"]["fc2"]["weight"], p["mlp"]["fc2"]["bias"])
+    return x + g2[:, None, :] * h
+
+
+def _block(p, img, txt, c, cfg: MMDiTConfig):
+    qi, ki, vi, gi = _stream_pre(p["img"], img, c)
+    qt, kt, vt, gt = _stream_pre(p["txt"], txt, c)
+    ti = img.shape[1]
+    # Joint attention over [img ‖ txt] tokens.
+    q = _heads(jnp.concatenate([qi, qt], axis=1), cfg.num_heads)
+    k = _heads(jnp.concatenate([ki, kt], axis=1), cfg.num_heads)
+    v = _heads(jnp.concatenate([vi, vt], axis=1), cfg.num_heads)
+    o = _unheads(ops.sdpa(q, k, v))
+    img = _stream_post(p["img"], img, o[:, :ti], gi)
+    txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
+    return img, txt
+
+
+def apply(
+    params,
+    x: jax.Array,
+    timesteps: jax.Array,
+    context: jax.Array,
+    pooled: jax.Array,
+    cfg: MMDiTConfig = SD3_MEDIUM,
+) -> jax.Array:
+    """x (B,H,W,C) latents, timesteps (B,) in [0,1] (flow time * 1000 is
+    fine too — embedding is scale-free), context (B,T,context_dim),
+    pooled (B,pooled_dim) -> velocity/noise prediction (B,H,W,C)."""
+    b, h, w, _ = x.shape
+    p = cfg.patch_size
+    img = ops.conv2d(x, params["patch_embed"]["weight"],
+                     params["patch_embed"]["bias"], stride=p)
+    img = img.reshape(b, -1, cfg.dim)
+    img = img + _pos_embed_2d(h // p, cfg.dim).astype(img.dtype)
+    txt = ops.linear(context.astype(x.dtype),
+                     params["context_embed"]["weight"],
+                     params["context_embed"]["bias"])
+
+    t_emb = timestep_embedding(timesteps.astype(jnp.float32) * 1000.0, 256)
+    c = ops.linear(t_emb.astype(x.dtype), params["time_mlp"]["fc1"]["weight"],
+                   params["time_mlp"]["fc1"]["bias"])
+    c = ops.linear(ops.silu(c), params["time_mlp"]["fc2"]["weight"],
+                   params["time_mlp"]["fc2"]["bias"])
+    pc = ops.linear(pooled.astype(x.dtype), params["pooled_mlp"]["fc1"]["weight"],
+                    params["pooled_mlp"]["fc1"]["bias"])
+    pc = ops.linear(ops.silu(pc), params["pooled_mlp"]["fc2"]["weight"],
+                    params["pooled_mlp"]["fc2"]["bias"])
+    c = c + pc
+
+    def body(carry, bp):
+        img, txt = carry
+        img, txt = _block(bp, img, txt, c, cfg)
+        return (img, txt), None
+
+    (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+
+    mod = ops.linear(ops.silu(c), params["final"]["mod"]["weight"],
+                     params["final"]["mod"]["bias"])
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    img = _modulate(ops.layer_norm(img), shift, scale)
+    out = ops.linear(img, params["final"]["proj"]["weight"],
+                     params["final"]["proj"]["bias"])
+    hp, wp = h // p, w // p
+    out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, cfg.out_channels)

@@ -1,0 +1,39 @@
+"""Rectified-flow (flow matching) sampling, SD3-style.
+
+Forward process: x_t = (1 - t) * x0 + t * noise, t in [0, 1].
+The model predicts velocity v(x_t, t) = noise - x0; integrating
+dx/dt = v from t=1 (pure noise) to t=0 recovers x0. SD3 uses a shifted
+timestep schedule: sigma(u) = shift*u / (1 + (shift-1)*u).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def timesteps(num_steps: int, shift: float = 3.0) -> jax.Array:
+    """Descending t ladder from 1 to 0 (num_steps+1 points), shifted."""
+    u = jnp.linspace(1.0, 0.0, num_steps + 1)
+    return shift * u / (1.0 + (shift - 1.0) * u)
+
+
+def sample(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    noise: jax.Array,
+    num_steps: int,
+    *,
+    shift: float = 3.0,
+) -> jax.Array:
+    """Euler integration of the velocity field; model_fn(x, t) -> v with
+    t scalar in [0, 1]. Returns x0."""
+    ts = timesteps(num_steps, shift)
+
+    def body(x, i):
+        t, t_next = ts[i], ts[i + 1]
+        v = model_fn(x, jnp.broadcast_to(t, (x.shape[0],)))
+        return x + (t_next - t) * v.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
+    return x
