@@ -89,3 +89,32 @@ class TestRectifiedFlow:
 
         out = jax.jit(lambda n: rf.sample(model_fn, n, 4))(noise)
         assert out.shape == noise.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestSD3Pipeline:
+    def test_tiny_generate(self):
+        from tinyfusers_tpu.pipeline import sd3
+
+        cfg = sd3.TINY_SD3
+        params = sd3.init(jax.random.key(0), cfg)
+        idl = jnp.zeros((1, cfg.clip_l.max_length), jnp.int32)
+        idg = jnp.zeros((1, cfg.clip_g.max_length), jnp.int32)
+        lat = sd3.initial_latent(jax.random.key(1), 1, cfg)
+        img = sd3.generate(params, idl, idg, idl, idg, lat, jnp.float32(5.0),
+                           num_steps=2, cfg=cfg)
+        assert img.shape == (1, cfg.height, cfg.width, 3)
+        assert img.dtype == jnp.uint8
+
+    def test_context_padding_layout(self):
+        from tinyfusers_tpu.pipeline import sd3
+
+        cfg = sd3.TINY_SD3
+        params = sd3.init(jax.random.key(0), cfg)
+        idl = jnp.zeros((2, cfg.clip_l.max_length), jnp.int32)
+        idg = jnp.zeros((2, cfg.clip_g.max_length), jnp.int32)
+        ctx, pooled = sd3.encode_text(params, idl, idg, cfg)
+        joint = cfg.clip_l.dim + cfg.clip_g.dim
+        assert ctx.shape == (2, cfg.clip_l.max_length, cfg.mmdit.context_dim)
+        # the T5 span must be zeros
+        assert float(jnp.abs(ctx[..., joint:]).max()) == 0.0
+        assert pooled.shape == (2, cfg.clip_l.projection_dim + cfg.clip_g.projection_dim)

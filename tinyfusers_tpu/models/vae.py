@@ -34,6 +34,7 @@ class VAEConfig:
     latent_channels: int = 4
     num_groups: int = 32
     scale_factor: float = 0.18215  # latent scaling (reference variants/sd.py:49)
+    shift_factor: float = 0.0      # SD3-style latent shift (z-shift)*scale
 
     @property
     def downsample_factor(self) -> int:
@@ -215,7 +216,7 @@ def encode(params, x: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
     x = ops.conv2d(ops.swish(x), p["conv_out"]["weight"], p["conv_out"]["bias"], padding=1)
     x = ops.conv2d(x, params["quant_conv"]["weight"], params["quant_conv"]["bias"])
     means = x[..., : cfg.latent_channels]  # take means, drop logvars
-    return means * cfg.scale_factor
+    return (means - cfg.shift_factor) * cfg.scale_factor
 
 
 def decode(params, z: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
@@ -224,7 +225,7 @@ def decode(params, z: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
     Includes the 1/scale_factor pre-scale and post_quant_conv
     (reference variants/sd.py:48-50)."""
     g = cfg.num_groups
-    z = z / cfg.scale_factor
+    z = z / cfg.scale_factor + cfg.shift_factor
     z = ops.conv2d(z, params["post_quant_conv"]["weight"], params["post_quant_conv"]["bias"])
     p = params["decoder"]
     x = ops.conv2d(z, p["conv_in"]["weight"], p["conv_in"]["bias"], padding=1)

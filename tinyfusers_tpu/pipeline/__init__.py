@@ -1,1 +1,1 @@
-from . import ddim, rectified_flow, sd, sdxl  # noqa: F401
+from . import ddim, rectified_flow, sd, sd3, sdxl  # noqa: F401
