@@ -9,7 +9,7 @@ the reference's torch_load + recursive update_state path
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ counts), fixed sin-cos positions for patches.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,8 @@ config-static), which XLA sees as straight-line code.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

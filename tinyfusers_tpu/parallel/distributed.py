@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
+
 
 import jax
 from jax.sharding import Mesh

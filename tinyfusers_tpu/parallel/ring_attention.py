@@ -18,7 +18,7 @@ ops.sdpa math with running (m, l, acc) statistics.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

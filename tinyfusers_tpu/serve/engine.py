@@ -17,8 +17,8 @@ script (example/sd1.py). Design (diffusion-native continuous batching):
 from __future__ import annotations
 
 import ctypes
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List
 
 import numpy as np
 
