@@ -233,3 +233,24 @@ class TestSDXLStateMap:
             3 * cfg.dim, cfg.dim)
         assert f"{pfx}.text_projection" in state
         assert f"{pfx}.ln_final.weight" in state
+
+
+class TestSaveFacade:
+    def test_save_and_reload(self, tmp_path):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        p = tmp_path / "export.safetensors"
+        checkpoints.save_sd_checkpoint(params, p, cfg)
+        back = checkpoints.load_sd_params(p, cfg, dtype=jnp.float32)
+        tree_allclose(params, back)
+
+    def test_save_bf16_roundtrip(self, tmp_path):
+        cfg = sd.TINY
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                              sd.init(jax.random.key(0), cfg))
+        p = tmp_path / "export_bf16.safetensors"
+        checkpoints.save_sd_checkpoint(params, p, cfg)
+        back = checkpoints.load_sd_params(p, cfg, dtype=jnp.bfloat16)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32))

@@ -53,6 +53,18 @@ def load_sd_params(path, cfg=None, *, dtype=jnp.bfloat16, shardings=None):
     return jax.tree.map(put, params, shardings)
 
 
+def save_sd_checkpoint(params, path, cfg=None) -> None:
+    """Export a param tree to a .safetensors SD-format checkpoint — the
+    save side the reference stubbed out (storage/state.py:25-26)."""
+    from ..pipeline import sd as sd_pipeline
+
+    cfg = cfg or sd_pipeline.SD15
+    state = state_map.sd_state_from_params(params, cfg)
+    safetensors_io.save_state_dict(
+        {k: np.asarray(v) for k, v in state.items()}, path
+    )
+
+
 def load_sdxl_params(path, cfg=None, *, dtype=jnp.bfloat16):
     """SDXL-base checkpoint (.safetensors or torch-zip) -> full
     {'clip_l','clip_g','unet','vae'} param tree."""

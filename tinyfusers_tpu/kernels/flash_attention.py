@@ -107,8 +107,8 @@ def flash_attention(
     *,
     scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """softmax(scale * q @ k^T [+ causal]) @ v, blockwise.
