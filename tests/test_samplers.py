@@ -83,3 +83,34 @@ class TestPipelineIntegration:
         b = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
                         num_steps=3, cfg=cfg, method="euler")
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCachedCFG:
+    def test_interval_one_matches_baseline(self):
+        """uncond_interval=1 must be numerically identical to the batched
+        CFG path (same math, different batching)."""
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        a = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=4, cfg=cfg)
+        # interval=2 exercises the split-batch scan path
+        b = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=4, cfg=cfg, uncond_interval=2)
+        # different math (cached uncond) -> different but close images
+        da = np.asarray(a).astype(int)
+        db = np.asarray(b).astype(int)
+        assert np.abs(da - db).mean() < 30  # stays in the same ballpark
+        assert not np.array_equal(da, db)
+
+    def test_interval_rejected_for_other_samplers(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        with pytest.raises(ValueError):
+            sd.generate(params, ids, ids, lat, jnp.float32(5.0),
+                        num_steps=2, cfg=cfg, method="euler",
+                        uncond_interval=2)

@@ -102,27 +102,65 @@ def sample_latents(
     cfg: SDConfig = SD15,
     method: str = "ddim",
     key=None,
+    uncond_interval: int = 1,
 ) -> jax.Array:
     """Full sampling as one lax.scan (jit-friendly; num_steps static).
 
     method: any of pipeline.samplers.SAMPLERS ("ddim", "euler",
-    "euler_ancestral", "dpmpp_2m")."""
+    "euler_ancestral", "dpmpp_2m").
+
+    uncond_interval k>1 enables cached CFG: the unconditional eps is
+    recomputed only every k-th step and reused between (the uncond
+    prediction drifts slowly across adjacent timesteps) — cuts UNet work
+    toward 50% at large k. Approximate: validate with
+    benchmarks/quant_eval.py-style PSNR before shipping outputs.
+    """
     from . import samplers
 
     guidance = jnp.asarray(guidance, jnp.float32)
-    context2 = jnp.concatenate([uncond_context, context], axis=0)
     b = latent.shape[0]
 
-    def model_fn(lat, t):
-        lat2 = jnp.concatenate([lat, lat], axis=0)
-        t2 = jnp.broadcast_to(t, (2 * b,))
-        eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
-        return ddim.cfg_combine(eps[:b], eps[b:], guidance)
+    if uncond_interval <= 1:
+        context2 = jnp.concatenate([uncond_context, context], axis=0)
 
-    return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
+        def model_fn(lat, t):
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.broadcast_to(t, (2 * b,))
+            eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+            return ddim.cfg_combine(eps[:b], eps[b:], guidance)
+
+        return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
+
+    if method != "ddim":
+        raise ValueError("uncond_interval>1 currently supports method='ddim'")
+
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    xs = (
+        jnp.arange(num_steps),
+        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
+    )
+
+    def body(carry, x):
+        lat, e_u_prev = carry
+        i, t, a_t, a_prev = x
+        tb = jnp.broadcast_to(t.astype(jnp.float32), (b,))
+        e_c = unet.apply(unet_params, lat, tb, context, cfg.unet)
+        e_u = jax.lax.cond(
+            i % uncond_interval == 0,
+            lambda: unet.apply(unet_params, lat, tb, uncond_context, cfg.unet),
+            lambda: e_u_prev,
+        )
+        e_t = ddim.cfg_combine(e_u, e_c, guidance)
+        return (ddim.ddim_step(lat, e_t, a_t, a_prev), e_u), None
+
+    init = (latent, jnp.zeros_like(latent))
+    (latent, _), _ = jax.lax.scan(body, init, xs)
+    return latent
 
 
-@partial(jax.jit, static_argnames=("num_steps", "cfg", "method"))
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method",
+                                   "uncond_interval"))
 def generate(
     params,
     input_ids: jax.Array,
@@ -134,18 +172,20 @@ def generate(
     cfg: SDConfig = SD15,
     method: str = "ddim",
     key=None,
+    uncond_interval: int = 1,
 ) -> jax.Array:
     """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
 
     One compiled program: CLIP (cond+uncond), scanned sampler loop, VAE
-    decode, postprocess. method selects the sampler (pipeline.samplers).
+    decode, postprocess. method selects the sampler (pipeline.samplers);
+    uncond_interval>1 enables cached CFG (see sample_latents).
     """
     ctx = encode_text(params, input_ids, cfg)
     uctx = encode_text(params, uncond_ids, cfg)
     latent = sample_latents(
         params["unet"], latent, ctx, uctx,
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
-        key=key,
+        key=key, uncond_interval=uncond_interval,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
