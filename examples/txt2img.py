@@ -88,14 +88,20 @@ def main():
             params, ids_l, ids_g, uids_l, uids_g, latent,
             jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg)
     else:
-        ids = make_ids(args.prompt, cfg.clip.max_length)
+        from tinyfusers_tpu.tokenizer import prompt_weights as pw
+
+        wid, w = pw.encode_weighted(tok, args.prompt, cfg.clip.max_length)
+        ids = jnp.array([wid] * args.batch, jnp.int32)
+        weights = (jnp.array([w] * args.batch, jnp.float32)
+                   if any(x != 1.0 for x in w) else None)
         uids = make_ids(args.negative_prompt, cfg.clip.max_length)
         skey = (jax.random.key(args.seed + 1)
                 if args.sampler == "euler_ancestral" else None)
         gen = lambda: sd.generate(params, ids, uids, latent,
                                   jnp.float32(args.guidance),
                                   num_steps=args.steps, cfg=cfg,
-                                  method=args.sampler, key=skey)
+                                  method=args.sampler, key=skey,
+                                  prompt_weights=weights)
 
     import numpy as _np
 

@@ -67,6 +67,14 @@ def encode_text(params, input_ids: jax.Array, cfg: SDConfig = SD15) -> jax.Array
     return clip.apply(params["clip"], input_ids, cfg.clip)
 
 
+def apply_prompt_weights(context: jax.Array, weights: jax.Array) -> jax.Array:
+    """Scale per-token hidden states about the sequence mean:
+    h_i <- mean + (h_i - mean) * w_i (tokenizer/prompt_weights syntax).
+    context (B, T, D), weights (B, T)."""
+    mean = jnp.mean(context, axis=1, keepdims=True)
+    return mean + (context - mean) * weights[..., None].astype(context.dtype)
+
+
 def denoise_step(
     unet_params,
     latent: jax.Array,
@@ -173,15 +181,20 @@ def generate(
     method: str = "ddim",
     key=None,
     uncond_interval: int = 1,
+    prompt_weights=None,
 ) -> jax.Array:
     """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
 
     One compiled program: CLIP (cond+uncond), scanned sampler loop, VAE
     decode, postprocess. method selects the sampler (pipeline.samplers);
-    uncond_interval>1 enables cached CFG (see sample_latents).
+    uncond_interval>1 enables cached CFG (see sample_latents);
+    prompt_weights (B, T) applies per-token emphasis
+    (tokenizer/prompt_weights).
     """
     ctx = encode_text(params, input_ids, cfg)
     uctx = encode_text(params, uncond_ids, cfg)
+    if prompt_weights is not None:
+        ctx = apply_prompt_weights(ctx, prompt_weights)
     latent = sample_latents(
         params["unet"], latent, ctx, uctx,
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
