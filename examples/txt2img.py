@@ -33,8 +33,9 @@ def main():
                    help="tiny/tinyxl = toy configs for smoke tests (CPU-friendly)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--quant", choices=["none", "int8", "fp8"], default="none",
-                   help="weight-only quantization for UNet+VAE")
+    p.add_argument("--quant", choices=["none", "int8", "fp8", "int4"],
+                   default="none",
+                   help="weight-only quantization for the UNet")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--sampler", choices=["ddim", "euler", "euler_ancestral",
                                          "dpmpp_2m"], default="ddim")
@@ -69,7 +70,8 @@ def main():
         params = pipe.init(jax.random.key(0), cfg, dtype=dtype)
     if args.quant != "none":
         from tinyfusers_tpu.io.quantize_tree import quantize_params
-        qdtype = jnp.int8 if args.quant == "int8" else jnp.float8_e4m3fn
+        qdtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+                  "int4": "int4"}[args.quant]
         params["unet"] = quantize_params(params["unet"], qdtype)
     print(f"params ready in {time.monotonic()-t0:.1f}s")
 

@@ -203,6 +203,29 @@ class TestQuantizeTree:
         scale = np.abs(np.asarray(dense)).mean()
         assert err / scale < 0.1, (err, scale)
 
+    def test_quantize_tiny_unet_int4_and_run(self):
+        from tinyfusers_tpu.io.quantize_tree import quantize_params
+        from tinyfusers_tpu.ops.quant import Int4Tensor
+
+        cfg = unet.TINY_CONFIG
+        params = unet.init(jax.random.key(0), cfg)
+        qparams = quantize_params(params, "int4", group_size=32)
+        nq = sum(
+            1 for leaf in jax.tree.leaves(
+                qparams, is_leaf=lambda x: isinstance(x, Int4Tensor))
+            if isinstance(leaf, Int4Tensor)
+        )
+        assert nq > 0
+        x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+        t = jnp.ones((1,))
+        ctx = jax.random.normal(jax.random.key(2), (1, 8, cfg.context_dim))
+        dense = unet.apply(params, x, t, ctx, cfg)
+        quant = unet.apply(qparams, x, t, ctx, cfg)
+        err = np.abs(np.asarray(quant) - np.asarray(dense)).mean()
+        scale = np.abs(np.asarray(dense)).mean()
+        assert np.isfinite(np.asarray(quant)).all()
+        assert err / scale < 0.5, (err, scale)  # int4: loose sanity bar
+
 
 class TestSDXLStateMap:
     def test_sdxl_roundtrip_via_safetensors(self, tmp_path):

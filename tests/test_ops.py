@@ -72,6 +72,64 @@ class TestLinear:
         assert_close(qw.dequantize(), w, atol=1e-5)
 
 
+class TestInt4:
+    def test_dequant_error_bounded_by_half_step(self):
+        w = rand(256, 96)
+        qw = ops.quantize_int4(jnp.array(w), axis=0, group_size=64)
+        assert qw.packed.dtype == jnp.uint8
+        assert qw.packed.shape == (128, 96)
+        assert qw.scales.shape == (4, 96)
+        dq = np.asarray(qw.dequantize())
+        # per-group scale: |w - dq| <= scale/2 elementwise (clip range
+        # covers absmax since scale = absmax/7 and values reach +-7)
+        step = np.repeat(np.asarray(qw.scales), 64, axis=0)
+        assert (np.abs(w - dq) <= step / 2 + 1e-7).all()
+
+    def test_roundtrip_exact_for_grid_values(self):
+        w = jnp.array([[-7.0, 7.0, 1.0, -3.0] * 4], jnp.float32).reshape(8, 2)
+        qw = ops.quantize_int4(w, axis=0, group_size=8)
+        assert_close(qw.dequantize(), w, atol=1e-6)
+
+    def test_linear_close_to_dense(self):
+        x, w = rand(5, 256), rand(256, 128)
+        qw = ops.quantize_int4(jnp.array(w), axis=0, group_size=64)
+        dense = np.asarray(ops.linear(jnp.array(x), jnp.array(w)))
+        quant = np.asarray(ops.linear(jnp.array(x), qw))
+        # int4 on iid gaussian weights (worst case — no structure):
+        # quantization noise accumulates with sqrt(K), same as the signal,
+        # so judge by relative RMS, not elementwise max.
+        # theory: noise std per weight = step/sqrt(12), step = absmax/7,
+        # absmax(64 iid gaussians) ~ 2.4 sigma -> rel rms ~ 0.10
+        rms = np.sqrt(((quant - dense) ** 2).mean())
+        assert rms / np.sqrt((dense ** 2).mean()) < 0.13
+        # and the result must equal matmul against the dequantized weight
+        manual = x @ np.asarray(qw.dequantize())
+        assert_close(quant, manual, atol=1e-3, rtol=1e-3)
+
+    def test_conv_close_to_dense(self):
+        x, w = rand(1, 8, 8, 32), rand(3, 3, 32, 16)
+        qw = ops.quantize_int4(jnp.array(w), axis=2, group_size=16)
+        dense = np.asarray(ops.conv2d(jnp.array(x), jnp.array(w), padding=1))
+        quant = np.asarray(ops.conv2d(jnp.array(x), qw, padding=1))
+        rms = np.sqrt(((quant - dense) ** 2).mean())
+        assert rms / np.sqrt((dense ** 2).mean()) < 0.11  # theory ~0.075 at g=16
+        manual = np.asarray(
+            ops.conv2d(jnp.array(x), qw.dequantize(jnp.float32), padding=1))
+        assert_close(quant, manual, atol=1e-3, rtol=1e-3)
+
+    def test_group_size_clipped_to_axis(self):
+        w = rand(4, 16)  # axis len 4 < default group 64
+        qw = ops.quantize_int4(jnp.array(w), axis=0)
+        assert qw.group_size == 4
+        assert qw.scales.shape == (1, 16)
+
+    def test_memory_halved_vs_int8(self):
+        w = jnp.array(rand(256, 128))
+        q8 = ops.quantize(w, jnp.int8, axis=-1)
+        q4 = ops.quantize_int4(w, axis=0, group_size=64)
+        assert q4.packed.size == q8.values.size // 2
+
+
 class TestNorms:
     @pytest.mark.parametrize("dim", [768, 1280])
     def test_layer_norm(self, dim):

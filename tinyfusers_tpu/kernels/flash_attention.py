@@ -29,10 +29,49 @@ NEG_INF = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             scale: float, sk_real: int, block_k: int, causal: bool,
-            block_q: int):
+            block_q: int, nk: int):
     i = pl.program_id(1)
     j = pl.program_id(2)
-    nk = pl.num_programs(2)
+    # Which k blocks need masking is known statically: only the last block
+    # can hold key padding, and only when sk_real isn't block-aligned —
+    # skipping the iota/compare/select saves real VPU time per block.
+    pad_cols = nk * block_k != sk_real
+
+    def logits():
+        q = q_ref[0]  # (block_q, d)
+        k = k_ref[0]  # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+
+        col = None
+        if pad_cols:
+            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < sk_real, s, NEG_INF)
+        if causal:
+            if col is None:
+                col = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+            row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            s = jnp.where(col <= row, s, NEG_INF)
+        return s
+
+    def pv(p):
+        return jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if nk == 1:
+        # Single k block: plain in-block softmax, no running statistics.
+        s = logits()
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if pad_cols or causal:
+            l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (pv(p) / l).astype(o_ref.dtype)
+        return
 
     @pl.when(j == 0)
     def _init():
@@ -41,19 +80,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def compute():
-        q = q_ref[0]  # (block_q, d)
-        k = k_ref[0]  # (block_k, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
-
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = col < sk_real
-        if causal:
-            row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            valid = jnp.logical_and(valid, col <= row)
-        s = jnp.where(valid, s, NEG_INF)
-
+        s = logits()
         m_prev = m_scr[:]          # (block_q, 1)
         l_prev = l_scr[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -61,10 +88,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         p = jnp.exp(s - m_new)     # (block_q, block_k)
         correction = jnp.exp(m_prev - m_new)
         l_new = correction * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc_scr[:] * correction + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = acc_scr[:] * correction + pv(p)
         m_scr[:] = m_new
         l_scr[:] = l_new
         acc_scr[:] = acc
@@ -96,6 +120,18 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _default_blocks(sq: int, sk: int, d: int) -> tuple:
+    """Block sizes tuned on TPU v5e (benchmarks/flash_sweep.py, chained
+    device timing). The big self-attention shapes prefer a full-Sk single
+    k pass (no online-softmax corrections) when VMEM allows."""
+    if sk >= 4096:
+        if d <= 96:        # SD1.5 64x64 (16,4096,40) -> 1.61 ms;
+            #                SDXL 32x    (20,4096,64) -> 2.24 ms
+            return 1024, 1024
+        return 128, 4096   # VAE mid:    (1, 4096, 512) -> 0.58 ms
+    return 512, 1024       # (16, 1024, 80) -> 0.42 ms; good mid-size default
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "interpret")
 )
@@ -107,15 +143,16 @@ def flash_attention(
     *,
     scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """softmax(scale * q @ k^T [+ causal]) @ v, blockwise.
 
     q (..., Sq, D), k/v (..., Sk, D). Explicit ``mask`` arrays are not
     supported here (use ops.sdpa_xla); ``causal=True`` covers the
-    causal-mask case without materializing one.
+    causal-mask case without materializing one. block_q/block_k default
+    to shape-tuned values (_default_blocks).
     """
     if mask is not None:
         raise ValueError("flash_attention: use causal=, not explicit masks")
@@ -123,6 +160,11 @@ def flash_attention(
     sk = k.shape[-2]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
+    dbq, dbk = _default_blocks(sq, sk, d)
+    if block_q is None:
+        block_q = dbq
+    if block_k is None:
+        block_k = dbk
 
     q3 = q.reshape(-1, sq, d)
     k3 = k.reshape(-1, sk, d)
@@ -138,7 +180,8 @@ def flash_attention(
     nk = k3.shape[1] // bk
 
     kernel = functools.partial(
-        _kernel, scale=scale, sk_real=sk, block_k=bk, causal=causal, block_q=bq
+        _kernel, scale=scale, sk_real=sk, block_k=bk, causal=causal,
+        block_q=bq, nk=nk,
     )
     out = pl.pallas_call(
         kernel,

@@ -4,7 +4,7 @@ from .conv import conv2d, upsample_nearest_2x
 from .embedding import embedding
 from .linear import linear
 from .norms import group_norm, layer_norm
-from .quant import QuantizedTensor, is_quantized, quantize
+from .quant import Int4Tensor, QuantizedTensor, is_quantized, quantize, quantize_int4
 
 __all__ = [
     "gelu_tanh", "geglu", "quick_gelu", "sigmoid", "silu", "swish",
@@ -13,5 +13,6 @@ __all__ = [
     "embedding",
     "linear",
     "group_norm", "layer_norm",
-    "QuantizedTensor", "is_quantized", "quantize",
+    "Int4Tensor", "QuantizedTensor", "is_quantized", "quantize",
+    "quantize_int4",
 ]

@@ -53,7 +53,7 @@ def conv2d(
     case scales are applied to the conv output (exact for per-O scaling).
     """
     from .policy import accum_dtype
-    from .quant import QuantizedTensor
+    from .quant import Int4Tensor, QuantizedTensor
 
     if compute_dtype is None:
         compute_dtype = x.dtype
@@ -65,6 +65,8 @@ def conv2d(
     pad = _normalize_padding(padding)
 
     scales = None
+    if isinstance(w, Int4Tensor):
+        w = w.dequantize(compute_dtype)  # weight-only int4 (per-I groups)
     if isinstance(w, QuantizedTensor):
         scales = w.scales  # (1, 1, 1, O)
         w = w.values

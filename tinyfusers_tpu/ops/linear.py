@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .policy import accum_dtype
-from .quant import QuantizedTensor
+from .quant import Int4Tensor, QuantizedTensor
 
 
 def linear(
@@ -39,6 +39,10 @@ def linear(
     if compute_dtype is None:
         compute_dtype = x.dtype
     acc = accum_dtype(compute_dtype)
+    if isinstance(w, Int4Tensor):
+        # Weight-only int4: unpack+scale in-graph (XLA keeps the packed
+        # bytes as the HBM-resident form), then a plain dense matmul.
+        w = w.dequantize(compute_dtype)
     if isinstance(w, QuantizedTensor):
         from .policy import quant_kernel
 
