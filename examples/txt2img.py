@@ -28,9 +28,17 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="rendered.png")
     p.add_argument("--ckpt", default=None, help="SD1.x .ckpt or .safetensors")
-    p.add_argument("--preset", choices=["sd15", "tiny", "sdxl", "tinyxl"],
+    p.add_argument("--preset",
+                   choices=["sd15", "sd21-base", "sd21-v", "tiny", "sdxl",
+                            "tinyxl"],
                    default="sd15",
                    help="tiny/tinyxl = toy configs for smoke tests (CPU-friendly)")
+    p.add_argument("--uncond-interval", type=int, default=1,
+                   help=">1: cached CFG (recompute uncond eps every k steps)")
+    p.add_argument("--deepcache-interval", type=int, default=1,
+                   help=">1: DeepCache (full UNet every k steps)")
+    p.add_argument("--deepcache-split", type=int, default=3,
+                   help="shallow blocks kept per side when DeepCache is on")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--quant", choices=["none", "int8", "fp8", "int4"],
@@ -55,7 +63,8 @@ def main():
         cfg = sdxl.SDXL_BASE if args.preset == "sdxl" else sdxl.TINY_XL
         pipe = sdxl
     else:
-        cfg = sd.SD15 if args.preset == "sd15" else sd.TINY
+        cfg = {"sd15": sd.SD15, "sd21-base": sd.SD21_BASE,
+               "sd21-v": sd.SD21_V, "tiny": sd.TINY}[args.preset]
         pipe = sd
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -77,8 +86,12 @@ def main():
 
     tok = bpe.ClipTokenizer.load_default()
 
+    # SD2.x conditions on OpenCLIP, which pads with 0 instead of EOT.
+    pad = 0 if args.preset.startswith("sd21") else bpe.EOT
+
     def make_ids(text, length):
-        return jnp.array([tok.encode(text, length)] * args.batch, jnp.int32)
+        return jnp.array([tok.encode(text, length, pad_token=pad)] * args.batch,
+                         jnp.int32)
 
     latent = pipe.initial_latent(jax.random.key(args.seed), args.batch, cfg, dtype)
     if is_xl:
@@ -103,6 +116,9 @@ def main():
                                   jnp.float32(args.guidance),
                                   num_steps=args.steps, cfg=cfg,
                                   method=args.sampler, key=skey,
+                                  uncond_interval=args.uncond_interval,
+                                  deepcache_interval=args.deepcache_interval,
+                                  deepcache_split=args.deepcache_split,
                                   prompt_weights=weights)
 
     import numpy as _np

@@ -75,6 +75,27 @@ class TestShapes:
         assert y.shape == (2, 16, 16, 4)
         assert bool(jnp.all(jnp.isfinite(y)))
 
+    def test_deepcache_shallow_with_fresh_cache_is_exact(self):
+        """At the same (x, t), the shallow pass spliced with the full
+        pass's cache must reproduce the full output bit-for-bit — the
+        only approximation in DeepCache is cache staleness across steps."""
+        cfg = unet.TINY_CONFIG
+        params = unet.init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+        t = jnp.full((1,), 11.0)
+        ctx = jax.random.normal(jax.random.key(2), (1, 8, cfg.context_dim))
+        for split in (1, 2):
+            full_eps, cache = unet.apply(
+                params, x, t, ctx, cfg, deepcache=("full", split))
+            plain = unet.apply(params, x, t, ctx, cfg)
+            np.testing.assert_allclose(
+                np.asarray(full_eps), np.asarray(plain), atol=0, rtol=0)
+            sh_eps, _ = unet.apply(
+                params, x, t, ctx, cfg, deepcache=("shallow", split),
+                cache=cache)
+            np.testing.assert_allclose(
+                np.asarray(sh_eps), np.asarray(full_eps), atol=1e-5, rtol=1e-5)
+
     def test_clip_forward(self):
         cfg = clip.CLIPConfig(vocab_size=100, max_length=16, dim=32,
                               num_layers=2, num_heads=4, mlp_dim=64)

@@ -35,8 +35,16 @@ def load_sd_params(path, cfg=None, *, dtype=jnp.bfloat16, shardings=None):
 
     cfg = cfg or sd_pipeline.SD15
     state = load_state_dict(path)
+    # SD1.x stores the text encoder in HF CLIP layout
+    # (cond_stage_model.transformer.text_model.*); SD2.x in original
+    # OpenCLIP layout (cond_stage_model.model.transformer.resblocks.*).
+    if any(k.startswith("cond_stage_model.model.") for k in state):
+        clip_params = state_map.openclip_from_state(
+            state, cfg.clip, "cond_stage_model.model")
+    else:
+        clip_params = state_map.clip_from_state(state, cfg.clip)
     params = {
-        "clip": state_map.clip_from_state(state, cfg.clip),
+        "clip": clip_params,
         "unet": state_map.unet_from_state(state, cfg.unet),
         "vae": state_map.vae_from_state(state, cfg.vae),
     }

@@ -44,6 +44,11 @@ OPENCLIP_BIGG_CONFIG = CLIPConfig(
     act="gelu", projection_dim=1280,
 )
 
+# SD 2.x conditioning encoder (OpenCLIP ViT-H/14 text tower).
+OPENCLIP_H_CONFIG = CLIPConfig(
+    dim=1024, num_layers=24, num_heads=16, mlp_dim=4096, act="gelu",
+)
+
 
 def init(key: jax.Array, cfg: CLIPConfig = CLIPConfig(), dtype=jnp.float32):
     keys = jax.random.split(key, 8)
@@ -111,12 +116,16 @@ def apply(
     cfg: CLIPConfig = CLIPConfig(),
     *,
     skip_final_norm_layers: int = 0,
+    final_norm_on_skip: bool = False,
 ) -> jax.Array:
     """input_ids (B, T) int32 -> hidden states (B, T, dim).
 
     skip_final_norm_layers=k returns the hidden state k layers before the
     end WITHOUT the final layer norm (SDXL conditions on the bigG
     encoder's penultimate layer, k=1; "clip skip" in SD tooling).
+    final_norm_on_skip=True applies the final layer norm to that early
+    state instead — SD 2.x "penultimate" conditioning (Stability's
+    FrozenOpenCLIPEmbedder truncates one resblock, then runs ln_final).
     """
     t = input_ids.shape[-1]
     x = ops.embedding(input_ids, params["token_embedding"]["weight"])
@@ -134,7 +143,14 @@ def apply(
     if skip_final_norm_layers > 0:
         # pre_states[i] is the input to layer i; index -k+... : the state
         # k layers before the end is pre_states[num_layers - k].
-        return pre_states[cfg.num_layers - skip_final_norm_layers]
+        early = pre_states[cfg.num_layers - skip_final_norm_layers]
+        if final_norm_on_skip:
+            return ops.layer_norm(
+                early,
+                params["final_layer_norm"]["weight"],
+                params["final_layer_norm"]["bias"],
+            )
+        return early
     return ops.layer_norm(
         x,
         params["final_layer_norm"]["weight"],

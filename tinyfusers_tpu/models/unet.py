@@ -362,12 +362,24 @@ def apply(
     cfg: UNetConfig = SD15_CONFIG,
     *,
     adm_cond: Optional[jax.Array] = None,
+    deepcache: Optional[Tuple[str, int]] = None,
+    cache: Optional[jax.Array] = None,
 ) -> jax.Array:
     """x (B, H, W, C_in) NHWC latents, timesteps (B,) float, context
     (B, S, context_dim) -> noise prediction (B, H, W, C_out).
 
     adm_cond (B, adm_in_channels): SDXL text_time conditioning vector
-    (pooled text embedding ‖ sinusoidal size embeddings)."""
+    (pooled text embedding ‖ sinusoidal size embeddings).
+
+    deepcache: DeepCache-style deep-feature reuse (Ma et al. 2023 — the
+    deep U-Net features drift slowly across adjacent denoise steps).
+    ("full", m)    — run everything; ALSO return the hidden state entering
+                     the last m output blocks, for later reuse.
+    ("shallow", m) — run only the first m input blocks and last m output
+                     blocks, splicing ``cache`` in as the deep feature;
+                     returns (eps, cache) unchanged. Both modes return an
+                     (eps, cache) pair so lax.cond can switch between them.
+    """
     inp, mid, outp = build_plan(cfg)
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
     emb = ops.linear(t_emb, params["time_embed"]["fc1"]["weight"], params["time_embed"]["fc1"]["bias"])
@@ -384,14 +396,33 @@ def apply(
         )
         emb = emb + a
 
-    skips = []
-    for p, block in zip(params["input"], inp):
-        x = _run_block(p, block, x, emb, context, cfg)
-        skips.append(x)
-    x = _run_block(params["middle"], mid, x, emb, context, cfg)
-    for p, block in zip(params["output"], outp):
-        x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = _run_block(p, block, x, emb, context, cfg)
+    mode, m = deepcache if deepcache is not None else (None, 0)
+    if mode == "shallow":
+        if cache is None:
+            raise ValueError("deepcache 'shallow' mode needs cache=")
+        skips = []
+        for p, block in zip(params["input"][:m], inp[:m]):
+            x = _run_block(p, block, x, emb, context, cfg)
+            skips.append(x)
+        x = cache
+        for p, block in zip(params["output"][-m:], outp[-m:]):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = _run_block(p, block, x, emb, context, cfg)
+        cache_out = cache
+    else:
+        skips = []
+        for p, block in zip(params["input"], inp):
+            x = _run_block(p, block, x, emb, context, cfg)
+            skips.append(x)
+        x = _run_block(params["middle"], mid, x, emb, context, cfg)
+        cache_out = None
+        for j, (p, block) in enumerate(zip(params["output"], outp)):
+            if mode == "full" and j == len(outp) - m:
+                cache_out = x
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = _run_block(p, block, x, emb, context, cfg)
     x = ops.group_norm(x, cfg.num_groups, params["out_norm"]["weight"], params["out_norm"]["bias"])
     x = ops.conv2d(ops.silu(x), params["out_conv"]["weight"], params["out_conv"]["bias"], padding=1)
+    if deepcache is not None:
+        return x, cache_out
     return x

@@ -30,6 +30,13 @@ class SDConfig:
     vae: vae.VAEConfig = field(default_factory=lambda: vae.SD_VAE_CONFIG)
     height: int = 512
     width: int = 512
+    # "epsilon" (SD1.x / SD2.x-base) or "v" (SD2.x 768-v; Salimans &
+    # Ho 2022 v-parameterization — converted to eps right after CFG).
+    prediction_type: str = "epsilon"
+    # Text conditioning taps k layers before the end ("clip skip"); SD2.x
+    # additionally runs the final layer norm on that early state.
+    clip_skip_layers: int = 0
+    clip_final_norm_on_skip: bool = False
 
     @property
     def latent_shape(self):
@@ -38,6 +45,24 @@ class SDConfig:
 
 
 SD15 = SDConfig()
+
+# SD 2.1-base (512, epsilon) and SD 2.1 (768, v-prediction): OpenCLIP-H
+# penultimate-layer conditioning, 64-d attention heads in the UNet.
+SD21_BASE = SDConfig(
+    clip=clip.OPENCLIP_H_CONFIG,
+    unet=unet.SD21_CONFIG,
+    clip_skip_layers=1,
+    clip_final_norm_on_skip=True,
+)
+SD21_V = SDConfig(
+    clip=clip.OPENCLIP_H_CONFIG,
+    unet=unet.SD21_CONFIG,
+    height=768,
+    width=768,
+    prediction_type="v",
+    clip_skip_layers=1,
+    clip_final_norm_on_skip=True,
+)
 
 # Tiny end-to-end config for tests: same code paths, toy sizes.
 TINY = SDConfig(
@@ -64,7 +89,33 @@ def init(key: jax.Array, cfg: SDConfig = SD15, dtype=jnp.float32):
 
 def encode_text(params, input_ids: jax.Array, cfg: SDConfig = SD15) -> jax.Array:
     """Token ids (B, T) -> conditioning context (B, T, dim)."""
-    return clip.apply(params["clip"], input_ids, cfg.clip)
+    return clip.apply(
+        params["clip"], input_ids, cfg.clip,
+        skip_final_norm_layers=cfg.clip_skip_layers,
+        final_norm_on_skip=cfg.clip_final_norm_on_skip,
+    )
+
+
+def model_out_to_eps(out: jax.Array, latent: jax.Array, timestep: jax.Array,
+                     cfg: SDConfig) -> jax.Array:
+    """Convert the UNet output to an epsilon prediction.
+
+    epsilon models: identity. v models: eps = sqrt(a_t)*v + sqrt(1-a_t)*x_t
+    (x_t = sqrt(a_t) x0 + sqrt(1-a_t) eps and v = sqrt(a_t) eps -
+    sqrt(1-a_t) x0). CFG may combine in v space first — the map is linear
+    in the model output at fixed (x_t, t)."""
+    if cfg.prediction_type == "epsilon":
+        return out
+    if cfg.prediction_type != "v":
+        raise ValueError(f"unknown prediction_type {cfg.prediction_type!r}")
+    acp = ddim.alphas_cumprod()
+    a_t = acp[jnp.round(timestep).astype(jnp.int32)].astype(jnp.float32)
+    while a_t.ndim < out.ndim:  # per-batch timesteps -> broadcast over HWC
+        a_t = a_t[..., None]
+    out32 = out.astype(jnp.float32)
+    lat32 = latent.astype(jnp.float32)
+    eps = jnp.sqrt(a_t) * out32 + jnp.sqrt(1.0 - a_t) * lat32
+    return eps.astype(out.dtype)
 
 
 def apply_prompt_weights(context: jax.Array, weights: jax.Array) -> jax.Array:
@@ -93,9 +144,10 @@ def denoise_step(
     b = latent.shape[0]
     lat2 = jnp.concatenate([latent, latent], axis=0)
     t2 = jnp.broadcast_to(timestep.astype(jnp.float32), (2 * b,))
-    eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
-    e_uncond, e_cond = eps[:b], eps[b:]
-    e_t = ddim.cfg_combine(e_uncond, e_cond, guidance)
+    out = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+    o_uncond, o_cond = out[:b], out[b:]
+    o_t = ddim.cfg_combine(o_uncond, o_cond, guidance)
+    e_t = model_out_to_eps(o_t, latent, timestep, cfg)
     return ddim.ddim_step(latent, e_t, a_t, a_prev)
 
 
@@ -111,6 +163,8 @@ def sample_latents(
     method: str = "ddim",
     key=None,
     uncond_interval: int = 1,
+    deepcache_interval: int = 1,
+    deepcache_split: int = 3,
 ) -> jax.Array:
     """Full sampling as one lax.scan (jit-friendly; num_steps static).
 
@@ -122,11 +176,30 @@ def sample_latents(
     prediction drifts slowly across adjacent timesteps) — cuts UNet work
     toward 50% at large k. Approximate: validate with
     benchmarks/quant_eval.py-style PSNR before shipping outputs.
+
+    deepcache_interval k>1 enables DeepCache (models/unet.apply
+    deepcache=): the deep U-Net trunk runs every k-th step, in between
+    only the first/last ``deepcache_split`` blocks run against the
+    cached deep feature. Approximate; ddim only; mutually exclusive
+    with uncond_interval>1 for now.
     """
     from . import samplers
 
     guidance = jnp.asarray(guidance, jnp.float32)
     b = latent.shape[0]
+
+    if deepcache_interval > 1:
+        if method != "ddim":
+            raise ValueError("deepcache_interval>1 supports method='ddim'")
+        if uncond_interval > 1:
+            raise ValueError(
+                "deepcache_interval and uncond_interval are mutually "
+                "exclusive (different scan carries)")
+        return _sample_deepcache(
+            unet_params, latent, context, uncond_context,
+            num_steps=num_steps, guidance=guidance, cfg=cfg,
+            interval=deepcache_interval, split=deepcache_split,
+        )
 
     if uncond_interval <= 1:
         context2 = jnp.concatenate([uncond_context, context], axis=0)
@@ -134,8 +207,9 @@ def sample_latents(
         def model_fn(lat, t):
             lat2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
-            eps = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
-            return ddim.cfg_combine(eps[:b], eps[b:], guidance)
+            out = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+            o_t = ddim.cfg_combine(out[:b], out[b:], guidance)
+            return model_out_to_eps(o_t, lat, t, cfg)
 
         return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
 
@@ -159,7 +233,8 @@ def sample_latents(
             lambda: unet.apply(unet_params, lat, tb, uncond_context, cfg.unet),
             lambda: e_u_prev,
         )
-        e_t = ddim.cfg_combine(e_u, e_c, guidance)
+        e_t = model_out_to_eps(
+            ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
         return (ddim.ddim_step(lat, e_t, a_t, a_prev), e_u), None
 
     init = (latent, jnp.zeros_like(latent))
@@ -167,8 +242,62 @@ def sample_latents(
     return latent
 
 
+def _sample_deepcache(
+    unet_params, latent, context, uncond_context, *,
+    num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
+):
+    """DDIM + CFG loop with DeepCache: full UNet every ``interval`` steps,
+    shallow (first/last ``split`` blocks + cached deep feature) between."""
+    b = latent.shape[0]
+    context2 = jnp.concatenate([uncond_context, context], axis=0)
+
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    xs = (
+        jnp.arange(num_steps),
+        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
+    )
+
+    def full(lat2, t2, cache):
+        eps, cache_new = unet.apply(
+            unet_params, lat2, t2, context2, cfg.unet,
+            deepcache=("full", split))
+        return eps, cache_new
+
+    def shallow(lat2, t2, cache):
+        return unet.apply(
+            unet_params, lat2, t2, context2, cfg.unet,
+            deepcache=("shallow", split), cache=cache)
+
+    # Cache shape/dtype comes from tracing the full pass without running it.
+    lat2_s = jax.eval_shape(
+        lambda l: jnp.concatenate([l, l], axis=0), latent)
+    t2_s = jax.ShapeDtypeStruct((2 * b,), jnp.float32)
+    cache_s = jax.eval_shape(
+        lambda l2, t2: full(l2, t2, None)[1], lat2_s, t2_s)
+    cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
+
+    def body(carry, x):
+        lat, cache = carry
+        i, t, a_t, a_prev = x
+        lat2 = jnp.concatenate([lat, lat], axis=0)
+        t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
+        eps, cache = jax.lax.cond(
+            i % interval == 0,
+            lambda: full(lat2, t2, cache),
+            lambda: shallow(lat2, t2, cache),
+        )
+        e_t = model_out_to_eps(
+            ddim.cfg_combine(eps[:b], eps[b:], guidance), lat, t, cfg)
+        return (ddim.ddim_step(lat, e_t, a_t, a_prev), cache), None
+
+    (latent, _), _ = jax.lax.scan(body, (latent, cache0), xs)
+    return latent
+
+
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method",
-                                   "uncond_interval"))
+                                   "uncond_interval", "deepcache_interval",
+                                   "deepcache_split"))
 def generate(
     params,
     input_ids: jax.Array,
@@ -181,6 +310,8 @@ def generate(
     method: str = "ddim",
     key=None,
     uncond_interval: int = 1,
+    deepcache_interval: int = 1,
+    deepcache_split: int = 3,
     prompt_weights=None,
 ) -> jax.Array:
     """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
@@ -199,6 +330,8 @@ def generate(
         params["unet"], latent, ctx, uctx,
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
         key=key, uncond_interval=uncond_interval,
+        deepcache_interval=deepcache_interval,
+        deepcache_split=deepcache_split,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
@@ -254,7 +387,8 @@ def inpaint(
         nine2 = jnp.concatenate([nine, nine], axis=0)
         t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
         eps = unet.apply(params["unet"], nine2, t2, context2, cfg.unet)
-        e_t = ddim.cfg_combine(eps[:b], eps[b:], guidance)
+        e_t = model_out_to_eps(
+            ddim.cfg_combine(eps[:b], eps[b:], guidance), lat, t, cfg)
         return ddim.ddim_step(lat, e_t, a_t, a_prev), None
 
     lat, _ = jax.lax.scan(body, latent, xs)

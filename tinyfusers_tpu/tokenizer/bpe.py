@@ -149,7 +149,12 @@ class ClipTokenizer:
                 ids.append(self.encoder[sym])
         return ids
 
-    def encode(self, text: str, length: int = CONTEXT_LENGTH) -> List[int]:
-        """SOT + up to (length-2) tokens + EOT padding, fixed length."""
+    def encode(self, text: str, length: int = CONTEXT_LENGTH,
+               pad_token: int = EOT) -> List[int]:
+        """SOT + up to (length-2) tokens + EOT, padded to fixed length.
+
+        SD1.x pads with EOT (reference tokenizer/clip.py:66-75); OpenCLIP
+        (SD2.x / SDXL's second encoder) pads with 0: pass pad_token=0."""
         ids = self.encode_text(text)[: length - 2]
-        return [SOT] + ids + [EOT] * (length - 1 - len(ids))
+        return ([SOT] + ids + [EOT]
+                + [pad_token] * (length - 2 - len(ids)))
