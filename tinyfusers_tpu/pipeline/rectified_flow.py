@@ -33,7 +33,11 @@ def sample(
     def body(x, i):
         t, t_next = ts[i], ts[i + 1]
         v = model_fn(x, jnp.broadcast_to(t, (x.shape[0],)))
-        return x + (t_next - t) * v.astype(x.dtype), None
+        # fp32 update, cast back: (t_next - t) is a strong-typed fp32
+        # scalar, so a bare `x + dt*v` would promote a bf16 carry to
+        # fp32 and break the scan's carry-type invariant.
+        x_new = x.astype(jnp.float32) + (t_next - t) * v.astype(jnp.float32)
+        return x_new.astype(x.dtype), None
 
     x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
     return x
