@@ -13,7 +13,7 @@ reports the direct, checkpoint-agnostic signal chain:
 With real weights these numbers bound the CLIP/FID drift; with random
 weights they still regression-test the quantized path end to end.
 
-Usage: python benchmarks/quant_eval.py [--quant int8|fp8] [--ckpt ...]
+Usage: python benchmarks/quant_eval.py [--quant int8|fp8|int4] [--ckpt ...]
 """
 import argparse
 import sys
@@ -39,7 +39,7 @@ def psnr(a, b, peak):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--quant", choices=["int8", "fp8"], default="int8")
+    p.add_argument("--quant", choices=["int8", "fp8", "int4"], default="int8")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15")
@@ -63,7 +63,8 @@ def main():
         params = B.fast_random_params(cfg, dtype)
     else:
         params = sd.init(jax.random.key(0), cfg, dtype=dtype)
-    qdtype = jnp.int8 if args.quant == "int8" else jnp.float8_e4m3fn
+    qdtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+              "int4": "int4"}[args.quant]
     qparams = {**params, "unet": quantize_params(params["unet"], qdtype)}
 
     h, w, c = cfg.latent_shape

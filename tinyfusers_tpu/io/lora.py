@@ -20,8 +20,6 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-import jax
-
 from ..models import unet as unet_model
 
 # our path: tuple of keys into the param tree

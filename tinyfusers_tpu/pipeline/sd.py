@@ -192,9 +192,16 @@ def sample_latents(
         if method != "ddim":
             raise ValueError("deepcache_interval>1 supports method='ddim'")
         if uncond_interval > 1:
-            raise ValueError(
-                "deepcache_interval and uncond_interval are mutually "
-                "exclusive (different scan carries)")
+            # Max-speed combination: the cond branch runs DeepCache
+            # (shallow between full refreshes), the uncond branch runs a
+            # FULL UNet but only every uncond_interval steps (reused in
+            # between) — no second cache to go stale.
+            return _sample_deepcache_cached_cfg(
+                unet_params, latent, context, uncond_context,
+                num_steps=num_steps, guidance=guidance, cfg=cfg,
+                dk=deepcache_interval, split=deepcache_split,
+                uk=uncond_interval,
+            )
         return _sample_deepcache(
             unet_params, latent, context, uncond_context,
             num_steps=num_steps, guidance=guidance, cfg=cfg,
@@ -292,6 +299,56 @@ def _sample_deepcache(
         return (ddim.ddim_step(lat, e_t, a_t, a_prev), cache), None
 
     (latent, _), _ = jax.lax.scan(body, (latent, cache0), xs)
+    return latent
+
+
+def _sample_deepcache_cached_cfg(
+    unet_params, latent, context, uncond_context, *,
+    num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
+):
+    """DDIM with DeepCache on the cond branch + cached CFG on the uncond
+    branch (cond and uncond run as separate B-batches here, unlike the
+    batched-2B paths). Cost per step ~ shallow(B) + full(B)/uk."""
+    b = latent.shape[0]
+    timesteps = ddim.ddim_timesteps(num_steps)
+    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
+    xs = (
+        jnp.arange(num_steps),
+        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
+    )
+
+    lat_s = jax.eval_shape(lambda l: l, latent)
+    t_s = jax.ShapeDtypeStruct((b,), jnp.float32)
+    ctx_s = jax.eval_shape(lambda c: c, context)
+    cache_s = jax.eval_shape(
+        lambda l, t, c: unet.apply(unet_params, l, t, c, cfg.unet,
+                                   deepcache=("full", split))[1],
+        lat_s, t_s, ctx_s)
+    cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
+
+    def body(carry, x):
+        lat, e_u_prev, cache = carry
+        i, t, a_t, a_prev = x
+        tb = jnp.broadcast_to(t.astype(jnp.float32), (b,))
+        e_c, cache = jax.lax.cond(
+            i % dk == 0,
+            lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
+                               deepcache=("full", split)),
+            lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
+                               deepcache=("shallow", split), cache=cache),
+        )
+        e_u = jax.lax.cond(
+            i % uk == 0,
+            lambda: unet.apply(unet_params, lat, tb, uncond_context,
+                               cfg.unet),
+            lambda: e_u_prev,
+        )
+        e_t = model_out_to_eps(
+            ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
+        return (ddim.ddim_step(lat, e_t, a_t, a_prev), e_u, cache), None
+
+    init = (latent, jnp.zeros_like(latent), cache0)
+    (latent, _, _), _ = jax.lax.scan(body, init, xs)
     return latent
 
 
