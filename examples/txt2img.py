@@ -105,7 +105,8 @@ def main():
     else:
         from tinyfusers_tpu.tokenizer import prompt_weights as pw
 
-        wid, w = pw.encode_weighted(tok, args.prompt, cfg.clip.max_length)
+        wid, w = pw.encode_weighted(tok, args.prompt, cfg.clip.max_length,
+                                    pad_token=pad)
         ids = jnp.array([wid] * args.batch, jnp.int32)
         weights = (jnp.array([w] * args.batch, jnp.float32)
                    if any(x != 1.0 for x in w) else None)

