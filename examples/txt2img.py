@@ -84,7 +84,9 @@ def main():
         params["unet"] = quantize_params(params["unet"], qdtype)
     print(f"params ready in {time.monotonic()-t0:.1f}s")
 
-    tok = bpe.ClipTokenizer.load_default()
+    # With real weights the byte-level fallback would silently produce
+    # garbage conditioning — hard-fail unless this is a random-weight run.
+    tok = bpe.ClipTokenizer.load_default(allow_fallback=args.ckpt is None)
 
     # SD2.x conditions on OpenCLIP, which pads with 0 instead of EOT.
     pad = 0 if args.preset.startswith("sd21") else bpe.EOT

@@ -7,15 +7,20 @@
 // implementation); loaded via ctypes from tokenizer/native.py.
 //
 // Contract:
-//  - input text must already be lowercased and whitespace-normalized
-//    (the Python wrapper does unicode-correct .lower()).
+//  - input is a '\n'-joined list of WORDS, already lowercased,
+//    whitespace-normalized, and split by the CLIP word regex. The
+//    unicode-aware regex ([\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+) lives in
+//    exactly one place — Python (tokenizer/bpe.py words()) — so the two
+//    implementations cannot drift on word boundaries; C++ owns only the
+//    hot merge loop. (Words can never contain whitespace post-split, so
+//    '\n' is a safe separator.)
 //  - merges blob is the CLIP merges file content WITHOUT the version
 //    header line (UTF-8, one "a b" pair per line).
 //
 // C API (stable, ctypes-friendly):
 //   void*  tf_bpe_create(const char* merges, long len);
-//   int    tf_bpe_encode(void* h, const char* text, int len,
-//                        int* out, int cap);       // returns n tokens
+//   int    tf_bpe_encode_words(void* h, const char* words, int len,
+//                              int* out, int cap);  // returns n tokens
 //   void   tf_bpe_destroy(void* h);
 
 #include <cstdint>
@@ -62,13 +67,11 @@ void append_utf8(std::string& s, uint32_t cp) {
   }
 }
 
-constexpr int kSOT = 49406;
-constexpr int kEOT = 49407;
-
 struct Tokenizer {
   std::unordered_map<std::string, int> encoder;  // symbol -> id
   std::unordered_map<std::string, int> ranks;    // "a\x00b" -> rank
   std::unordered_map<std::string, std::vector<int>> cache;
+  int sot_id = 0, eot_id = 0;  // 512 + n_merges (+1); 49406/49407 for CLIP
 
   explicit Tokenizer(const std::string& merges_blob) {
     // Base vocab: 256 byte symbols in ByteMap order, then </w> variants.
@@ -99,8 +102,14 @@ struct Tokenizer {
       encoder.emplace(a + b, 512 + rank);
       ++rank;
     }
-    encoder.emplace("<|startoftext|>", kSOT);
-    encoder.emplace("<|endoftext|>", kEOT);
+    // Specials take the next two ids (= 49406/49407 with the real
+    // 48894-merge CLIP file), mirroring bpe.py's vocab construction.
+    sot_id = 512 + rank;
+    eot_id = 512 + rank + 1;
+    encoder.emplace("<|startoftext|>", sot_id);
+    encoder.emplace("<|endoftext|>", eot_id);
+    cache.emplace("<|startoftext|>", std::vector<int>{sot_id});
+    cache.emplace("<|endoftext|>", std::vector<int>{eot_id});
   }
 
   // BPE-merge one word (raw bytes); append resulting ids.
@@ -158,39 +167,14 @@ struct Tokenizer {
     out.insert(out.end(), ids.begin(), ids.end());
   }
 
-  // Word split matching the CLIP regex on pre-lowercased text:
-  // special tokens | contractions ('s 't 're 've 'm 'll 'd) | [^\s]+
-  void encode_text(const char* text, int len, std::vector<int>& out) {
+  // Encode '\n'-joined pre-split words (see file header contract).
+  void encode_words(const char* words, int len, std::vector<int>& out) {
     int i = 0;
-    auto isspace_ = [](char c) {
-      return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
-    };
-    auto starts = [&](const char* lit) {
-      int n = (int)strlen(lit);
-      return i + n <= len && memcmp(text + i, lit, n) == 0;
-    };
     while (i < len) {
-      if (isspace_(text[i])) { ++i; continue; }
-      if (starts("<|startoftext|>")) { out.push_back(kSOT); i += 15; continue; }
-      if (starts("<|endoftext|>")) { out.push_back(kEOT); i += 13; continue; }
-      if (text[i] == '\'') {
-        static const char* kContr[] = {"'re", "'ve", "'ll", "'s", "'t", "'m", "'d"};
-        bool hit = false;
-        for (const char* c : kContr) {
-          if (starts(c)) {
-            int n = (int)strlen(c);
-            encode_word(std::string(text + i, n), out);
-            i += n;
-            hit = true;
-            break;
-          }
-        }
-        if (hit) continue;
-      }
       int j = i;
-      while (j < len && !isspace_(text[j])) ++j;
-      encode_word(std::string(text + i, j - i), out);
-      i = j;
+      while (j < len && words[j] != '\n') ++j;
+      if (j > i) encode_word(std::string(words + i, j - i), out);
+      i = j + 1;
     }
   }
 };
@@ -203,10 +187,11 @@ void* tf_bpe_create(const char* merges, long len) {
   return new Tokenizer(std::string(merges, (size_t)len));
 }
 
-int tf_bpe_encode(void* h, const char* text, int len, int* out, int cap) {
+int tf_bpe_encode_words(void* h, const char* words, int len, int* out,
+                        int cap) {
   auto* tok = static_cast<Tokenizer*>(h);
   std::vector<int> ids;
-  tok->encode_text(text, len, ids);
+  tok->encode_words(words, len, ids);
   int n = (int)ids.size();
   if (n > cap) n = cap;
   for (int i = 0; i < n; ++i) out[i] = ids[i];

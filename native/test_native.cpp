@@ -9,7 +9,7 @@
 
 extern "C" {
 void* tf_bpe_create(const char* merges, long len);
-int tf_bpe_encode(void* h, const char* text, int len, int* out, int cap);
+int tf_bpe_encode_words(void* h, const char* words, int len, int* out, int cap);
 void tf_bpe_destroy(void* h);
 
 void* tf_sched_create(int num_slots);
@@ -22,28 +22,30 @@ void tf_sched_destroy(void* h);
 }
 
 static void test_bpe() {
-  const char* merges = "h e\nhe l\nl o\nhel lo</w>";
+  const char* merges = "h e\nhe l\nl o\nhel lo</w>";  // 4 merges
   void* tok = tf_bpe_create(merges, (long)strlen(merges));
   assert(tok);
   int ids[64];
 
   // "hel" -> merge h+e (rank 0) -> ["he", "l</w>"]: ids [512, 256+idx(l)]
-  int n = tf_bpe_encode(tok, "hel", 3, ids, 64);
+  int n = tf_bpe_encode_words(tok, "hel", 3, ids, 64);
   assert(n == 2);
   assert(ids[0] == 512);                    // "he" = first merge
   assert(ids[1] >= 256 && ids[1] < 512);    // "l</w>"
 
   // byte fallback stays in the base id space
-  n = tf_bpe_encode(tok, "z", 1, ids, 64);
+  n = tf_bpe_encode_words(tok, "z", 1, ids, 64);
   assert(n == 1 && ids[0] >= 256 && ids[0] < 512);  // z</w>
 
-  // special tokens
-  n = tf_bpe_encode(tok, "<|endoftext|>", 13, ids, 64);
-  assert(n == 1 && ids[0] == 49407);
+  // special tokens: ids follow the merge count (512 + 4 merges + 1)
+  n = tf_bpe_encode_words(tok, "<|endoftext|>", 13, ids, 64);
+  assert(n == 1 && ids[0] == 512 + 4 + 1);
 
-  // contraction splitting only at word start
-  n = tf_bpe_encode(tok, "'s", 2, ids, 64);
-  assert(n >= 1);
+  // multiple pre-split words arrive '\n'-joined (incl. contractions,
+  // which the Python regex has already split off)
+  n = tf_bpe_encode_words(tok, "hel\n's\nz", 8, ids, 64);
+  assert(n >= 4);
+  assert(ids[0] == 512);
 
   tf_bpe_destroy(tok);
   printf("bpe ok\n");

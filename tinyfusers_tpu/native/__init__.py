@@ -51,8 +51,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # BPE API
         lib.tf_bpe_create.restype = ctypes.c_void_p
         lib.tf_bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_long]
-        lib.tf_bpe_encode.restype = ctypes.c_int
-        lib.tf_bpe_encode.argtypes = [
+        lib.tf_bpe_encode_words.restype = ctypes.c_int
+        lib.tf_bpe_encode_words.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]

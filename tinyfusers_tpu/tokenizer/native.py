@@ -1,9 +1,11 @@
 """ctypes front-end for the C++ BPE tokenizer (native/bpe.cpp).
 
-Drop-in for bpe.ClipTokenizer.encode*: unicode-aware lowercasing and
-whitespace cleanup happen here in Python (C++ gets clean lowered UTF-8);
-the merge loop — the hot path — runs native. Falls back to the pure-
-Python implementation when libtfnative.so is unavailable.
+Drop-in for bpe.ClipTokenizer.encode*: unicode-aware lowercasing,
+whitespace cleanup, and the CLIP word-split regex happen here in Python
+(bpe.ClipTokenizer.words — ONE implementation of the word boundary
+rules); the merge loop — the hot path — runs native over the pre-split
+'\n'-joined words. Falls back to the pure-Python implementation when
+libtfnative.so is unavailable.
 """
 from __future__ import annotations
 
@@ -23,12 +25,22 @@ class NativeClipTokenizer:
         self._lib = get_lib()
         self._handle = None
         self._fallback: Optional[pybpe.ClipTokenizer] = None
+        # Word splitting always goes through the Python reference
+        # implementation so native and Python cannot drift.
+        self._splitter = pybpe.ClipTokenizer(None)
         if self._lib is not None and merges_blob is not None:
             self._handle = self._lib.tf_bpe_create(
                 merges_blob, len(merges_blob)
             )
         if self._handle is None:
             self._fallback = _python_tokenizer_from_blob(merges_blob)
+            self.sot_id = self._fallback.sot_id
+            self.eot_id = self._fallback.eot_id
+        else:
+            n_merges = sum(
+                1 for l in merges_blob.split(b"\n") if l.strip())
+            self.sot_id = 512 + n_merges
+            self.eot_id = 512 + n_merges + 1
 
     @classmethod
     def from_merges_file(cls, path) -> "NativeClipTokenizer":
@@ -58,15 +70,20 @@ class NativeClipTokenizer:
     def encode_text(self, text: str) -> List[int]:
         if self._fallback is not None:
             return self._fallback.encode_text(text)
-        clean = pybpe._whitespace_clean(text).lower().encode("utf-8")
-        cap = max(64, 4 * len(clean) + 16)
+        payload = "\n".join(self._splitter.words(text)).encode("utf-8")
+        cap = max(64, 4 * len(payload) + 16)
         buf = (ctypes.c_int * cap)()
-        n = self._lib.tf_bpe_encode(self._handle, clean, len(clean), buf, cap)
+        n = self._lib.tf_bpe_encode_words(
+            self._handle, payload, len(payload), buf, cap)
         return list(buf[:n])
 
-    def encode(self, text: str, length: int = pybpe.CONTEXT_LENGTH) -> List[int]:
+    def encode(self, text: str, length: int = pybpe.CONTEXT_LENGTH,
+               pad_token: Optional[int] = None) -> List[int]:
+        if pad_token is None:
+            pad_token = self.eot_id
         ids = self.encode_text(text)[: length - 2]
-        return [pybpe.SOT] + ids + [pybpe.EOT] * (length - 1 - len(ids))
+        return ([self.sot_id] + ids + [self.eot_id]
+                + [pad_token] * (length - 2 - len(ids)))
 
     def __del__(self):
         if self._handle is not None and self._lib is not None:

@@ -16,7 +16,7 @@ that preserves the overall embedding magnitude.
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from . import bpe
 
@@ -93,7 +93,7 @@ def parse(text: str) -> List[Tuple[str, float]]:
 
 def encode_weighted(
     tokenizer: "bpe.ClipTokenizer", text: str, length: int = bpe.CONTEXT_LENGTH,
-    pad_token: int = bpe.EOT,
+    pad_token: Optional[int] = None,
 ) -> Tuple[List[int], List[float]]:
     """-> (ids padded to length, per-token weights). SOT/EOT/padding get
     weight 1.0.
@@ -107,9 +107,11 @@ def encode_weighted(
         frag_ids = tokenizer.encode_text(frag)
         ids.extend(frag_ids)
         weights.extend([w] * len(frag_ids))
+    if pad_token is None:
+        pad_token = tokenizer.eot_id
     ids = ids[: length - 2]
     weights = weights[: length - 2]
-    full_ids = ([bpe.SOT] + ids + [bpe.EOT]
+    full_ids = ([tokenizer.sot_id] + ids + [tokenizer.eot_id]
                 + [pad_token] * (length - 2 - len(ids)))
     full_w = [1.0] + weights + [1.0] * (length - 1 - len(weights))
     return full_ids, full_w
