@@ -101,6 +101,33 @@ class TestEngine:
         results = eng.run_until_idle()
         assert sorted(r.request_id for r in results) == [r.request_id for r in reqs]
 
+    def test_memory_hygiene(self, setup):
+        """Completed requests must not accumulate in engine bookkeeping."""
+        cfg, params = setup
+        eng = Engine(params, cfg, num_slots=2)
+        for i in range(6):
+            eng.submit(self._req(eng, cfg, seed=i, steps=2))
+        results = eng.run_until_idle()
+        assert len(results) == 6
+        assert eng._requests == {}
+        assert eng._pending_decodes == []
+        assert eng._steps_total == {}
+
+    def test_reset_keeps_compiled_step(self, setup):
+        """reset() reclaims scheduler state without touching the jitted
+        programs (failure recovery must not re-warm the compile cache)."""
+        cfg, params = setup
+        eng = Engine(params, cfg, num_slots=2)
+        step_fn, dec_fn = eng._step, eng._decode
+        eng.submit(self._req(eng, cfg, seed=0, steps=4))
+        eng.step()
+        eng.reset()
+        assert eng.core.active() == 0 and eng.core.pending() == 0
+        assert eng._step is step_fn and eng._decode is dec_fn
+        # engine still serves correctly after the reset
+        eng.submit(self._req(eng, cfg, seed=1, steps=2))
+        assert len(eng.run_until_idle()) == 1
+
 
 class TestShardedEngine:
     def test_sharded_engine_matches_unsharded(self):
@@ -201,6 +228,10 @@ class TestRouter:
             return orig_step(self)
 
         monkeypatch.setattr(Engine, "step", flaky_step)
+        compiled_step = eng._step
         results = router.run_until_idle()
         assert [r.request_id for r in results] == [rid]
         assert router.health()["m"]["failures"] == 1
+        # recovery reused the same engine + compiled program (no re-jit)
+        assert router.engines["m"] is eng
+        assert eng._step is compiled_step

@@ -11,8 +11,16 @@ script (example/sd1.py). Design (diffusion-native continuous batching):
   barrier on the longest request.
 - Slot/queue bookkeeping lives in the C++ core (native/scheduler.cpp) via
   ctypes, with a pure-Python fallback.
-- VAE decode runs per completion, jitted separately (batch of 1 slot), so
-  it never blocks the denoise cadence of other slots.
+- VAE decode runs per completion, jitted separately (batch of 1 slot) and
+  dispatched asynchronously: the device array is enqueued, the tick
+  returns immediately, and results are harvested on a later tick once the
+  decode is ready (JAX dispatch is async; only the final host copy can
+  block, and only when forced). Decode therefore never stalls the denoise
+  cadence of other slots.
+- Multi-host: the per-tick control vectors (t, alphas, guidance, active)
+  are broadcast from process 0 (parallel.distributed.sync_decision) so
+  every process feeds the jitted step identical inputs; submissions must
+  be mirrored to all processes (same-order submit() calls everywhere).
 """
 from __future__ import annotations
 
@@ -178,6 +186,8 @@ class Engine:
         self._ladders: Dict[int, np.ndarray] = {}  # per distinct num_steps
         self._acp = np.asarray(ddim.alphas_cumprod())
         self._next_rid = 0
+        self._requests: Dict[int, Request] = {}  # in-flight + queued only
+        self._pending_decodes: List = []         # (rid, device image array)
 
         self._encode = jax.jit(
             lambda p, ids: sd.encode_text(p, ids, cfg)
@@ -206,9 +216,20 @@ class Engine:
 
     def submit(self, req: Request) -> int:
         self.core.submit(req.request_id, req.num_steps)
-        self._requests = getattr(self, "_requests", {})
         self._requests[req.request_id] = req
         return req.request_id
+
+    def reset(self) -> None:
+        """Drop all queued/in-flight state but KEEP the compiled programs
+        and device buffers — failure recovery must not pay the jit warmup
+        again (the round-1 retry path rebuilt the Engine: a full
+        recompile per failure)."""
+        self.core = make_scheduler_core(
+            self.S, isinstance(self.core, _NativeSchedulerCore))
+        self._steps_total.clear()
+        self._requests.clear()
+        self._pending_decodes.clear()
+        self.guidance[:] = 0.0
 
     def make_request(self, prompt_ids, uncond_ids, *, num_steps=20,
                      guidance=7.5, seed=0) -> Request:
@@ -259,19 +280,46 @@ class Engine:
             a_prev[slot] = self._acp[ladder[idx - 1]] if idx > 0 else 1.0
             active[slot] = True
 
+        if jax.process_count() > 1:
+            from ..parallel.distributed import sync_decision
+
+            t, a_t, a_prev, active, guidance = sync_decision(
+                (t, a_t, a_prev, active, self.guidance))
+        else:
+            guidance = self.guidance
+
         if active.any():
             self.latents = self._step(
                 self.params["unet"], self.latents, self.contexts,
-                jnp.asarray(self.guidance), jnp.asarray(t),
+                jnp.asarray(guidance), jnp.asarray(t),
                 jnp.asarray(a_t), jnp.asarray(a_prev), jnp.asarray(active),
             )
 
-        results = []
         for rid, slot in self.core.tick():
+            # Async dispatch: enqueue the decode, harvest when ready.
             img = self._decode(self.params["vae"], self.latents[slot][None])
-            results.append(Result(rid, np.asarray(img[0])))
+            self._pending_decodes.append((rid, img))
             self._steps_total.pop(slot, None)
-        return results
+            self._requests.pop(rid, None)
+        return self._harvest(block=False)
+
+    def _harvest(self, block: bool) -> List[Result]:
+        done, still = [], []
+        for rid, img in self._pending_decodes:
+            ready = block
+            if not ready:
+                is_ready = getattr(img, "is_ready", None)
+                ready = is_ready() if callable(is_ready) else True
+            if ready:
+                done.append(Result(rid, np.asarray(img[0])))
+            else:
+                still.append((rid, img))
+        self._pending_decodes = still
+        return done
+
+    def flush(self) -> List[Result]:
+        """Block for and return every outstanding decoded result."""
+        return self._harvest(block=True)
 
     def run_until_idle(self, max_ticks: int = 10000) -> List[Result]:
         out = []
@@ -279,4 +327,5 @@ class Engine:
             if not (self.core.active() or self.core.pending()):
                 break
             out.extend(self.step())
+        out.extend(self.flush())
         return out

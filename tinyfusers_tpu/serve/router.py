@@ -78,17 +78,19 @@ class Router:
 
     def _requeue_engine(self, model: str, eng: Engine) -> None:
         # Reclaim every in-flight slot and resubmit surviving requests.
+        # Engine.reset() keeps the compiled step/encode/decode programs —
+        # recovery costs only the re-denoise of in-flight work, not a
+        # fresh jit warmup.
         inflight = [t for t in self._tracked.values()
                     if t.model == model]
-        fresh = Engine(eng.params, eng.cfg, num_slots=eng.S, mesh=eng.mesh)
-        self.engines[model] = fresh
+        eng.reset()
         for t in inflight:
             if t.retries_left <= 0:
                 log.warning(kv(event="request_dropped", rid=t.request.request_id))
                 self._tracked.pop(t.request.request_id, None)
                 continue
             t.retries_left -= 1
-            fresh.submit(t.request)
+            eng.submit(t.request)
 
     def run_until_idle(self, max_ticks: int = 10000) -> List[Result]:
         out: List[Result] = []
