@@ -269,12 +269,21 @@ def clip_from_state(state: Dict[str, np.ndarray], cfg=None):
 
     layers = [layer(i) for i in range(cfg.num_layers)]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
-    return {
+    params = {
         "token_embedding": {"weight": get("embeddings.token_embedding.weight")},
         "position_embedding": {"weight": get("embeddings.position_embedding.weight")},
         "layers": stacked,
         "final_layer_norm": _norm(get, "final_layer_norm"),
     }
+    if cfg.projection_dim:
+        # HF layout stores text_projection as a sibling of text_model
+        # (CLIPTextModelWithProjection), shaped (proj_dim, dim).
+        parent = prefix.rsplit(".text_model", 1)[0]
+        params["text_projection"] = {
+            "weight": np.ascontiguousarray(
+                state[f"{parent}.text_projection.weight"].T)
+        }
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -427,6 +436,10 @@ def clip_to_state(params, cfg=None) -> Dict[str, np.ndarray]:
         _put_linear(out, f"{lp}.mlp.fc1", layer["mlp"]["fc1"])
         _put_linear(out, f"{lp}.mlp.fc2", layer["mlp"]["fc2"])
     _put_norm(out, f"{pfx}.final_layer_norm", params["final_layer_norm"])
+    if "text_projection" in params:
+        parent = pfx.rsplit(".text_model", 1)[0]
+        out[f"{parent}.text_projection.weight"] = np.ascontiguousarray(
+            np.asarray(params["text_projection"]["weight"]).T)
     return out
 
 
@@ -455,12 +468,18 @@ def sd_state_from_params(params, cfg) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def clip_hf_from_state(state, cfg, prefix: str):
-    """HF-layout CLIP text tower under an arbitrary prefix."""
+    """HF-layout CLIP text tower under an arbitrary prefix (ending in
+    ``.text_model``); carries the sibling ``text_projection`` along when
+    the config declares one (CLIPTextModelWithProjection layout)."""
     remapped = {
         f"cond_stage_model.transformer.text_model.{k[len(prefix) + 1:]}": v
         for k, v in state.items()
         if k.startswith(prefix + ".")
     }
+    if cfg.projection_dim:
+        parent = prefix.rsplit(".text_model", 1)[0]
+        remapped["cond_stage_model.transformer.text_projection.weight"] = (
+            state[f"{parent}.text_projection.weight"])
     return clip_from_state(remapped, cfg)
 
 
@@ -565,7 +584,14 @@ def openclip_to_state(params, cfg, prefix: str):
 def clip_hf_to_state(params, cfg, prefix: str):
     base = clip_to_state(params, cfg)
     old = "cond_stage_model.transformer.text_model"
-    return {f"{prefix}.{k[len(old) + 1:]}": v for k, v in base.items()}
+    parent_new = prefix.rsplit(".text_model", 1)[0]
+    out = {}
+    for k, v in base.items():
+        if k.startswith(old + "."):
+            out[f"{prefix}.{k[len(old) + 1:]}"] = v
+        else:  # sibling text_projection lives one level up
+            out[k.replace("cond_stage_model.transformer", parent_new, 1)] = v
+    return out
 
 
 def sdxl_unet_to_state(params, cfg):

@@ -105,7 +105,9 @@ def _layer(p, x, mask, cfg: CLIPConfig):
     x = x + _attn(p["self_attn"], h, mask, cfg.num_heads)
     h = ops.layer_norm(x, p["layer_norm2"]["weight"], p["layer_norm2"]["bias"])
     h = ops.linear(h, p["mlp"]["fc1"]["weight"], p["mlp"]["fc1"]["bias"])
-    h = ops.quick_gelu(h) if cfg.act == "quick_gelu" else ops.gelu_tanh(h)
+    # "gelu" = exact erf GELU: OpenCLIP towers (SD2.x H, SDXL bigG) use
+    # nn.GELU default, not the tanh approximation.
+    h = ops.quick_gelu(h) if cfg.act == "quick_gelu" else ops.gelu_erf(h)
     h = ops.linear(h, p["mlp"]["fc2"]["weight"], p["mlp"]["fc2"]["bias"])
     return x + h
 

@@ -1,4 +1,4 @@
-from .activations import gelu_tanh, geglu, quick_gelu, sigmoid, silu, swish
+from .activations import gelu_erf, gelu_tanh, geglu, quick_gelu, sigmoid, silu, swish
 from .attention import sdpa, sdpa_xla
 from .conv import conv2d, upsample_nearest_2x
 from .embedding import embedding
@@ -7,7 +7,7 @@ from .norms import group_norm, layer_norm
 from .quant import Int4Tensor, QuantizedTensor, is_quantized, quantize, quantize_int4
 
 __all__ = [
-    "gelu_tanh", "geglu", "quick_gelu", "sigmoid", "silu", "swish",
+    "gelu_erf", "gelu_tanh", "geglu", "quick_gelu", "sigmoid", "silu", "swish",
     "sdpa", "sdpa_xla",
     "conv2d", "upsample_nearest_2x",
     "embedding",
