@@ -105,3 +105,108 @@ def ring_attention_call(q, k, v, mesh):
         return jax.jit(
             lambda a, b, c: ra.ring_attention(a, b, c, mesh=mesh, axis="data")
         )(q, k, v)
+
+
+class TestTransformerBackboneTP:
+    """TP parity for the DiT/MMDiT/SDXL backbones (VERDICT round-1 item 4:
+    fused qkv was previously replicated and their attention out-proj
+    misclassified column-parallel)."""
+
+    def test_qkv_and_proj_specs(self, mesh):
+        from tinyfusers_tpu.models import dit
+
+        params = dit.init(jax.random.key(0), dit.TINY_DIT)
+        specs = parallel.tp_spec_tree(params)
+        blocks = specs["blocks"]
+        # stacked (layers, in, out) weights: qkv column, attn proj row
+        assert blocks["attn"]["qkv"]["weight"] == P(None, None, "model")
+        assert blocks["attn"]["qkv"]["bias"] == P(None, "model")
+        assert blocks["attn"]["proj"]["weight"] == P(None, "model", None)
+        assert blocks["attn"]["proj"]["bias"] == P()
+        assert blocks["mlp"]["fc1"]["weight"] == P(None, None, "model")
+        assert blocks["mlp"]["fc2"]["weight"] == P(None, "model", None)
+        # tiny unpatchify head stays replicated
+        assert specs["final"]["proj"]["weight"] == P()
+
+    def test_unet_geglu_specs_unchanged(self, mesh):
+        cfg = unet.TINY_CONFIG
+        params = unet.init(jax.random.key(0), cfg)
+        specs = parallel.tp_spec_tree(params)
+        found = []
+
+        def visit(path, spec):
+            names = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+            if "ff" in names:
+                found.append((names[-2], spec))
+
+        jax.tree_util.tree_map_with_path(
+            visit, specs, is_leaf=lambda x: isinstance(x, P))
+        ff = dict((m, s) for m, s in found)
+        assert ff["proj"] == P(None, "model")   # GEGLU up stays column
+        assert ff["out"] == P("model", None)    # FF down stays row
+
+    def test_sharded_dit_matches_unsharded(self, mesh):
+        from tinyfusers_tpu.models import dit
+
+        cfg = dit.TINY_DIT
+        params = dit.init(jax.random.key(0), cfg)
+        # perturb from zero-init mods so blocks aren't identity
+        params = jax.tree.map(
+            lambda x: x + 0.03 * jax.random.normal(jax.random.key(9), x.shape),
+            params)
+        x = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+        t = jnp.full((4,), 500.0)
+
+        want = dit.apply(params, x, t, cfg)
+        sp = parallel.shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        xs, ts = jax.device_put(x, data_sh), jax.device_put(t, data_sh)
+        with jax.set_mesh(mesh):
+            got = jax.jit(lambda p, a, b: dit.apply(p, a, b, cfg))(sp, xs, ts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_sharded_mmdit_matches_unsharded(self, mesh):
+        from tinyfusers_tpu.models import mmdit
+
+        cfg = mmdit.TINY_MMDIT
+        params = mmdit.init(jax.random.key(0), cfg)
+        params = jax.tree.map(
+            lambda x: x + 0.03 * jax.random.normal(jax.random.key(9), x.shape),
+            params)
+        x = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+        t = jnp.full((4,), 0.5)
+        ctx = jax.random.normal(jax.random.key(2), (4, 8, cfg.context_dim))
+        pooled = jax.random.normal(jax.random.key(3), (4, cfg.pooled_dim))
+
+        want = mmdit.apply(params, x, t, ctx, pooled, cfg)
+        sp = parallel.shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        args = [jax.device_put(a, data_sh) for a in (x, t, ctx, pooled)]
+        with jax.set_mesh(mesh):
+            got = jax.jit(
+                lambda p, a, b, c, d: mmdit.apply(p, a, b, c, d, cfg)
+            )(sp, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_sharded_sdxl_unet_matches_unsharded(self, mesh):
+        from tinyfusers_tpu.pipeline import sdxl
+
+        cfg = sdxl.TINY_XL.unet
+        params = unet.init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (4, 16, 16, 4))
+        t = jnp.full((4,), 500.0)
+        ctx = jax.random.normal(jax.random.key(2), (4, 8, cfg.context_dim))
+        adm = jax.random.normal(jax.random.key(3), (4, cfg.adm_in_channels))
+
+        want = unet.apply(params, x, t, ctx, cfg, adm_cond=adm)
+        sp = parallel.shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        args = [jax.device_put(a, data_sh) for a in (x, t, ctx, adm)]
+        with jax.set_mesh(mesh):
+            got = jax.jit(
+                lambda p, a, b, c, d: unet.apply(p, a, b, c, cfg, adm_cond=d)
+            )(sp, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)

@@ -217,7 +217,7 @@ def vae_from_state(state: Dict[str, np.ndarray], cfg=None):
             stage["upsample"] = _conv(get, f"decoder.up.{i}.upsample.conv")
         up.append(stage)
 
-    return {
+    params = {
         "encoder": {
             "conv_in": _conv(get, "encoder.conv_in"),
             "down": down,
@@ -232,9 +232,11 @@ def vae_from_state(state: Dict[str, np.ndarray], cfg=None):
             "norm_out": _norm(get, "decoder.norm_out"),
             "conv_out": _conv(get, "decoder.conv_out"),
         },
-        "quant_conv": _conv(get, "quant_conv"),
-        "post_quant_conv": _conv(get, "post_quant_conv"),
     }
+    if cfg.use_quant_conv:
+        params["quant_conv"] = _conv(get, "quant_conv")
+        params["post_quant_conv"] = _conv(get, "post_quant_conv")
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -410,8 +412,9 @@ def vae_to_state(params, cfg=None) -> Dict[str, np.ndarray]:
             _put_conv(out, f"{pfx}.decoder.up.{i}.upsample.conv", stage["upsample"])
     _put_norm(out, f"{pfx}.decoder.norm_out", dec["norm_out"])
     _put_conv(out, f"{pfx}.decoder.conv_out", dec["conv_out"])
-    _put_conv(out, f"{pfx}.quant_conv", params["quant_conv"])
-    _put_conv(out, f"{pfx}.post_quant_conv", params["post_quant_conv"])
+    if cfg.use_quant_conv:
+        _put_conv(out, f"{pfx}.quant_conv", params["quant_conv"])
+        _put_conv(out, f"{pfx}.post_quant_conv", params["post_quant_conv"])
     return out
 
 
@@ -625,3 +628,236 @@ def sdxl_params_from_state(state, cfg):
         "unet": sdxl_unet_from_state(state, cfg.unet),
         "vae": vae_from_state(state, cfg.vae),
     }
+
+
+# ---------------------------------------------------------------------------
+# SD3 / MMDiT checkpoint mapping.
+# Layout (sd3_medium*.safetensors single-file state dict):
+#   model.diffusion_model.x_embedder.proj.*            patch-embed conv
+#   model.diffusion_model.pos_embed                    learned (1, 192*192, dim)
+#   model.diffusion_model.t_embedder.mlp.{0,2}.*       timestep MLP
+#   model.diffusion_model.y_embedder.mlp.{0,2}.*       pooled-cond MLP
+#   model.diffusion_model.context_embedder.*           context linear
+#   model.diffusion_model.joint_blocks.{i}.x_block.*   image stream
+#   model.diffusion_model.joint_blocks.{i}.context_block.*  text stream
+#       (LAST context_block is pre_only: attn.qkv + a 2-chunk
+#        adaLN_modulation only — no attn.proj / mlp)
+#   model.diffusion_model.final_layer.{linear,adaLN_modulation.1}.*
+#   text_encoders.clip_l.transformer.text_model.*      HF CLIP-L (+projection)
+#   text_encoders.clip_g.transformer.text_model.*      HF CLIP-G (+projection)
+#   first_stage_model.*                                16-channel VAE
+# Extends the reference's update_state capability (storage/state.py:4-23)
+# to the SD3 backbone the reference never had.
+# ---------------------------------------------------------------------------
+
+def _fused_qkv_from_torch(w: np.ndarray, b: np.ndarray, num_heads: int):
+    """Torch fused qkv (3d, in) [q|k|v]-major -> our (in, 3d)
+    HEAD-INTERLEAVED layout (models/dit.py split_fused_qkv)."""
+    d3, din = w.shape
+    d = d3 // 3
+    hd = d // num_heads
+    wt = w.T.reshape(din, 3, num_heads, hd).transpose(0, 2, 1, 3)
+    out = {"weight": np.ascontiguousarray(wt.reshape(din, d3))}
+    if b is not None:
+        out["bias"] = np.ascontiguousarray(
+            b.reshape(3, num_heads, hd).transpose(1, 0, 2).reshape(d3))
+    return out
+
+
+def _fused_qkv_to_torch(p, num_heads: int):
+    """Inverse of _fused_qkv_from_torch -> (torch_weight, torch_bias)."""
+    w = np.asarray(p["weight"])  # (in, 3d) head-interleaved
+    din, d3 = w.shape
+    d = d3 // 3
+    hd = d // num_heads
+    wt = w.reshape(din, num_heads, 3, hd).transpose(0, 2, 1, 3).reshape(din, d3)
+    tb = None
+    if "bias" in p:
+        b = np.asarray(p["bias"])
+        tb = np.ascontiguousarray(
+            b.reshape(num_heads, 3, hd).transpose(1, 0, 2).reshape(d3))
+    return np.ascontiguousarray(wt.T), tb
+
+
+def _crop_pos_embed(pe: np.ndarray, grid: int) -> np.ndarray:
+    """Center-crop the stored (1, G*G, dim) learned pos-embed grid to
+    (1, grid*grid, dim) — SD3's cropped_pos_embed behavior."""
+    g2 = pe.shape[-2]
+    g = int(round(g2 ** 0.5))
+    if g * g != g2:
+        raise ValueError(f"pos_embed token count {g2} is not square")
+    if grid > g:
+        raise ValueError(f"target grid {grid} exceeds stored grid {g}")
+    dim = pe.shape[-1]
+    grid2d = pe.reshape(g, g, dim)
+    top = (g - grid) // 2
+    crop = grid2d[top:top + grid, top:top + grid]
+    return np.ascontiguousarray(crop.reshape(1, grid * grid, dim))
+
+
+def _mmdit_stream_from_state(get: Get, prefix: str, cfg, pre_only: bool):
+    d = cfg.dim
+    mod_w = get(f"{prefix}.adaLN_modulation.1.weight")  # (6d | 2d, d)
+    mod_b = get(f"{prefix}.adaLN_modulation.1.bias")
+    if pre_only:
+        # pre_only block: adaLN emits only (shift, scale) for the
+        # pre-attention LN. Embed into the homogeneous 6-chunk layout
+        # with gates/mlp-mods zero: the stream's post-attention output is
+        # gated by zero and discarded, so the math is exact.
+        w6 = np.zeros((6 * d, d), mod_w.dtype)
+        b6 = np.zeros((6 * d,), mod_b.dtype)
+        w6[: 2 * d] = mod_w
+        b6[: 2 * d] = mod_b
+        mod_w, mod_b = w6, b6
+    p = {
+        "mod": {"weight": np.ascontiguousarray(mod_w.T), "bias": mod_b},
+        "qkv": _fused_qkv_from_torch(
+            get(f"{prefix}.attn.qkv.weight"),
+            get(f"{prefix}.attn.qkv.bias"),
+            cfg.num_heads,
+        ),
+    }
+    if pre_only:
+        z = np.zeros
+        dt = mod_w.dtype
+        p["proj"] = {"weight": z((d, d), dt), "bias": z((d,), dt)}
+        p["mlp"] = {
+            "fc1": {"weight": z((d, cfg.mlp_ratio * d), dt),
+                    "bias": z((cfg.mlp_ratio * d,), dt)},
+            "fc2": {"weight": z((cfg.mlp_ratio * d, d), dt),
+                    "bias": z((d,), dt)},
+        }
+    else:
+        p["proj"] = _linear(get, f"{prefix}.attn.proj")
+        p["mlp"] = {
+            "fc1": _linear(get, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(get, f"{prefix}.mlp.fc2"),
+        }
+    return p
+
+
+def mmdit_from_state(state: Dict[str, np.ndarray], cfg=None):
+    """SD3 checkpoint -> models/mmdit param tree (total, erroring mapping
+    like the other builders; reference capability storage/state.py:4-23)."""
+    from ..models import mmdit as mmdit_model
+
+    cfg = cfg or mmdit_model.SD3_MEDIUM
+    prefix = "model.diffusion_model"
+
+    def get(k: str) -> np.ndarray:
+        return state[f"{prefix}.{k}"]
+
+    def layer(i: int):
+        last = i == cfg.depth - 1
+        return {
+            "img": _mmdit_stream_from_state(
+                get, f"joint_blocks.{i}.x_block", cfg, pre_only=False),
+            "txt": _mmdit_stream_from_state(
+                get, f"joint_blocks.{i}.context_block", cfg, pre_only=last),
+        }
+
+    import jax
+
+    layers = [layer(i) for i in range(cfg.depth)]
+    params = {
+        "patch_embed": _conv(get, "x_embedder.proj"),
+        "context_embed": _linear(get, "context_embedder"),
+        "time_mlp": {
+            "fc1": _linear(get, "t_embedder.mlp.0"),
+            "fc2": _linear(get, "t_embedder.mlp.2"),
+        },
+        "pooled_mlp": {
+            "fc1": _linear(get, "y_embedder.mlp.0"),
+            "fc2": _linear(get, "y_embedder.mlp.2"),
+        },
+        "blocks": jax.tree.map(lambda *xs: np.stack(xs), *layers),
+        "final": {
+            "mod": {
+                "weight": np.ascontiguousarray(
+                    get("final_layer.adaLN_modulation.1.weight").T),
+                "bias": get("final_layer.adaLN_modulation.1.bias"),
+            },
+            "proj": _linear(get, "final_layer.linear"),
+        },
+    }
+    # Real SD3 checkpoints carry a learned pos-embed grid (cropped to this
+    # resolution); synthetic/random trees may omit it (model falls back to
+    # fixed sin-cos, models/mmdit.py apply).
+    if f"{prefix}.pos_embed" in state:
+        params["pos_embed"] = _crop_pos_embed(
+            get("pos_embed"), cfg.input_size // cfg.patch_size)
+    return params
+
+
+def mmdit_to_state(params, cfg=None) -> Dict[str, np.ndarray]:
+    """Inverse mapping (export / test-fixture side). Emits the canonical
+    SD3 layout including the pre_only last context_block (proj/mlp and
+    the upper 4 mod chunks of that block are NOT emitted — they are
+    zero/unreachable by construction)."""
+    from ..models import mmdit as mmdit_model
+
+    cfg = cfg or mmdit_model.SD3_MEDIUM
+    pfx = "model.diffusion_model"
+    out: Dict[str, np.ndarray] = {}
+    _put_conv(out, f"{pfx}.x_embedder.proj", params["patch_embed"])
+    _put_linear(out, f"{pfx}.context_embedder", params["context_embed"])
+    _put_linear(out, f"{pfx}.t_embedder.mlp.0", params["time_mlp"]["fc1"])
+    _put_linear(out, f"{pfx}.t_embedder.mlp.2", params["time_mlp"]["fc2"])
+    _put_linear(out, f"{pfx}.y_embedder.mlp.0", params["pooled_mlp"]["fc1"])
+    _put_linear(out, f"{pfx}.y_embedder.mlp.2", params["pooled_mlp"]["fc2"])
+
+    def put_stream(sp: str, p, pre_only: bool):
+        w = np.asarray(p["mod"]["weight"]).T  # (6d, d)
+        b = np.asarray(p["mod"]["bias"])
+        if pre_only:
+            d = cfg.dim
+            w, b = w[: 2 * d], b[: 2 * d]
+        out[f"{sp}.adaLN_modulation.1.weight"] = np.ascontiguousarray(w)
+        out[f"{sp}.adaLN_modulation.1.bias"] = b
+        tw, tb = _fused_qkv_to_torch(p["qkv"], cfg.num_heads)
+        out[f"{sp}.attn.qkv.weight"] = tw
+        out[f"{sp}.attn.qkv.bias"] = tb
+        if not pre_only:
+            _put_linear(out, f"{sp}.attn.proj", p["proj"])
+            _put_linear(out, f"{sp}.mlp.fc1", p["mlp"]["fc1"])
+            _put_linear(out, f"{sp}.mlp.fc2", p["mlp"]["fc2"])
+
+    for i in range(cfg.depth):
+        bp = _tree_index(params["blocks"], i)
+        last = i == cfg.depth - 1
+        put_stream(f"{pfx}.joint_blocks.{i}.x_block", bp["img"], False)
+        put_stream(f"{pfx}.joint_blocks.{i}.context_block", bp["txt"], last)
+
+    out[f"{pfx}.final_layer.adaLN_modulation.1.weight"] = np.ascontiguousarray(
+        np.asarray(params["final"]["mod"]["weight"]).T)
+    out[f"{pfx}.final_layer.adaLN_modulation.1.bias"] = np.asarray(
+        params["final"]["mod"]["bias"])
+    _put_linear(out, f"{pfx}.final_layer.linear", params["final"]["proj"])
+    if "pos_embed" in params:
+        out[f"{pfx}.pos_embed"] = np.asarray(params["pos_embed"])
+    return out
+
+
+def sd3_params_from_state(state, cfg):
+    """Full SD3 single-file checkpoint -> pipeline/sd3 param tree."""
+    return {
+        "clip_l": clip_hf_from_state(
+            state, cfg.clip_l, "text_encoders.clip_l.transformer.text_model"),
+        "clip_g": clip_hf_from_state(
+            state, cfg.clip_g, "text_encoders.clip_g.transformer.text_model"),
+        "mmdit": mmdit_from_state(state, cfg.mmdit),
+        "vae": vae_from_state(state, cfg.vae),
+    }
+
+
+def sd3_state_from_params(params, cfg):
+    out = {}
+    out.update(clip_hf_to_state(
+        params["clip_l"], cfg.clip_l,
+        "text_encoders.clip_l.transformer.text_model"))
+    out.update(clip_hf_to_state(
+        params["clip_g"], cfg.clip_g,
+        "text_encoders.clip_g.transformer.text_model"))
+    out.update(mmdit_to_state(params["mmdit"], cfg.mmdit))
+    out.update(vae_to_state(params["vae"], cfg.vae))
+    return out

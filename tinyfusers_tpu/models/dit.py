@@ -134,6 +134,25 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def split_fused_qkv(qkv: jax.Array, num_heads: int):
+    """(B, T, 3*D) fused projection -> q, k, v each (B, H, T, hd).
+
+    The fused weight's output axis is laid out HEAD-INTERLEAVED —
+    ``[h0:(q,k,v) | h1:(q,k,v) | ...]`` — not torch's ``[q | k | v]``
+    (checkpoint mappers permute at load, io/state_map.py). TPU-first
+    rationale: column-sharding the fused projection over the ``model``
+    mesh axis then puts *whole heads* on each device (the reshape below
+    splits the sharded axis with the head factor major, which GSPMD
+    represents without any resharding), so TP attention runs entirely
+    local and the only collective is the all-reduce after the
+    row-parallel output projection (parallel/sharding.py).
+    """
+    b, t, d3 = qkv.shape
+    hd = d3 // (3 * num_heads)
+    qkv = qkv.reshape(b, t, num_heads, 3, hd).transpose(0, 2, 3, 1, 4)
+    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+
 def _block(p, x, c, cfg: DiTConfig):
     """x (B, T, D); c (B, D) conditioning."""
     b, t, d = x.shape
@@ -143,11 +162,7 @@ def _block(p, x, c, cfg: DiTConfig):
     h = ops.layer_norm(x)  # adaLN: no learned affine
     h = _modulate(h, sh1, sc1)
     qkv = ops.linear(h, p["attn"]["qkv"]["weight"], p["attn"]["qkv"]["bias"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    hd = d // cfg.num_heads
-    q, k, v = (
-        y.reshape(b, t, cfg.num_heads, hd).transpose(0, 2, 1, 3) for y in (q, k, v)
-    )
+    q, k, v = split_fused_qkv(qkv, cfg.num_heads)
     a = ops.sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, d)
     a = ops.linear(a, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"])
     x = x + g1[:, None, :] * a

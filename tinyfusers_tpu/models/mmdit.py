@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .. import ops
 from ..utils import init as pinit
-from .dit import _pos_embed_2d
+from .dit import _pos_embed_2d, split_fused_qkv
 from .unet import timestep_embedding
 
 
@@ -105,19 +105,15 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _stream_pre(p, x, c):
-    """Pre-attention: modulated LN + qkv. Returns (q,k,v, gates, mods)."""
+def _stream_pre(p, x, c, num_heads):
+    """Pre-attention: modulated LN + fused qkv (head-interleaved layout,
+    see models/dit.py split_fused_qkv). Returns (q,k,v (B,H,T,hd), gates)."""
     mod = ops.linear(ops.silu(c), p["mod"]["weight"], p["mod"]["bias"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
     h = _modulate(ops.layer_norm(x), sh1, sc1)
     qkv = ops.linear(h, p["qkv"]["weight"], p["qkv"]["bias"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = split_fused_qkv(qkv, num_heads)
     return q, k, v, (g1, sh2, sc2, g2)
-
-
-def _heads(x, n):
-    b, t, d = x.shape
-    return x.reshape(b, t, n, d // n).transpose(0, 2, 1, 3)
 
 
 def _unheads(x):
@@ -137,13 +133,14 @@ def _stream_post(p, x, attn_out, gates):
 
 
 def _block(p, img, txt, c, cfg: MMDiTConfig):
-    qi, ki, vi, gi = _stream_pre(p["img"], img, c)
-    qt, kt, vt, gt = _stream_pre(p["txt"], txt, c)
+    qi, ki, vi, gi = _stream_pre(p["img"], img, c, cfg.num_heads)
+    qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg.num_heads)
     ti = img.shape[1]
-    # Joint attention over [img ‖ txt] tokens.
-    q = _heads(jnp.concatenate([qi, qt], axis=1), cfg.num_heads)
-    k = _heads(jnp.concatenate([ki, kt], axis=1), cfg.num_heads)
-    v = _heads(jnp.concatenate([vi, vt], axis=1), cfg.num_heads)
+    # Joint attention over [img ‖ txt] tokens (concat on the token axis —
+    # q/k/v are already (B, H, T, hd)).
+    q = jnp.concatenate([qi, qt], axis=2)
+    k = jnp.concatenate([ki, kt], axis=2)
+    v = jnp.concatenate([vi, vt], axis=2)
     o = _unheads(ops.sdpa(q, k, v))
     img = _stream_post(p["img"], img, o[:, :ti], gi)
     txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
@@ -166,7 +163,13 @@ def apply(
     img = ops.conv2d(x, params["patch_embed"]["weight"],
                      params["patch_embed"]["bias"], stride=p)
     img = img.reshape(b, -1, cfg.dim)
-    img = img + _pos_embed_2d(h // p, cfg.dim).astype(img.dtype)
+    # Real SD3 checkpoints carry a LEARNED pos_embed (a 192x192 grid the
+    # mapper center-crops to this resolution, io/state_map.py); without
+    # one (random init / tiny configs) fall back to fixed sin-cos.
+    pe = params.get("pos_embed")
+    if pe is None:
+        pe = _pos_embed_2d(h // p, cfg.dim)
+    img = img + jnp.asarray(pe).reshape(1, img.shape[1], cfg.dim).astype(img.dtype)
     txt = ops.linear(context.astype(x.dtype),
                      params["context_embed"]["weight"],
                      params["context_embed"]["bias"])

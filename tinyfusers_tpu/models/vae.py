@@ -35,6 +35,7 @@ class VAEConfig:
     num_groups: int = 32
     scale_factor: float = 0.18215  # latent scaling (reference variants/sd.py:49)
     shift_factor: float = 0.0      # SD3-style latent shift (z-shift)*scale
+    use_quant_conv: bool = True    # SD1/2/XL: 1x1 (post_)quant_conv; SD3/Flux VAEs drop them
 
     @property
     def downsample_factor(self) -> int:
@@ -155,12 +156,14 @@ def init_decoder(key, cfg: VAEConfig = SD_VAE_CONFIG, dtype=jnp.float32):
 def init(key, cfg: VAEConfig = SD_VAE_CONFIG, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     lc = cfg.latent_channels
-    return {
+    p = {
         "encoder": init_encoder(ks[0], cfg, dtype),
         "decoder": init_decoder(ks[1], cfg, dtype),
-        "quant_conv": pinit.conv_params(ks[2], 2 * lc, 2 * lc, 1, dtype=dtype),
-        "post_quant_conv": pinit.conv_params(ks[3], lc, lc, 1, dtype=dtype),
     }
+    if cfg.use_quant_conv:
+        p["quant_conv"] = pinit.conv_params(ks[2], 2 * lc, 2 * lc, 1, dtype=dtype)
+        p["post_quant_conv"] = pinit.conv_params(ks[3], lc, lc, 1, dtype=dtype)
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +217,8 @@ def encode(params, x: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
     x = _mid_apply(p["mid"], x, g)
     x = ops.group_norm(x, g, p["norm_out"]["weight"], p["norm_out"]["bias"])
     x = ops.conv2d(ops.swish(x), p["conv_out"]["weight"], p["conv_out"]["bias"], padding=1)
-    x = ops.conv2d(x, params["quant_conv"]["weight"], params["quant_conv"]["bias"])
+    if cfg.use_quant_conv:
+        x = ops.conv2d(x, params["quant_conv"]["weight"], params["quant_conv"]["bias"])
     means = x[..., : cfg.latent_channels]  # take means, drop logvars
     return (means - cfg.shift_factor) * cfg.scale_factor
 
@@ -226,7 +230,9 @@ def decode(params, z: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
     (reference variants/sd.py:48-50)."""
     g = cfg.num_groups
     z = z / cfg.scale_factor + cfg.shift_factor
-    z = ops.conv2d(z, params["post_quant_conv"]["weight"], params["post_quant_conv"]["bias"])
+    if cfg.use_quant_conv:
+        z = ops.conv2d(z, params["post_quant_conv"]["weight"],
+                       params["post_quant_conv"]["bias"])
     p = params["decoder"]
     x = ops.conv2d(z, p["conv_in"]["weight"], p["conv_in"]["bias"], padding=1)
     x = _mid_apply(p["mid"], x, g)

@@ -24,8 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
-COLUMN_PARALLEL = {"to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1", "proj"}
-ROW_PARALLEL = {"to_out", "out_proj", "fc2", "out"}
+COLUMN_PARALLEL = {"to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj",
+                   "fc1", "qkv"}
+ROW_PARALLEL = {"to_out", "out_proj", "fc2"}
+# Names whose role depends on the parent module:
+#  - "proj" under "ff" is the GEGLU up-projection (column); under a
+#    DiT/MMDiT attention/stream dict ("attn"/"img"/"txt") it is the
+#    attention OUTPUT projection (row); under "final" it is the tiny
+#    unpatchify head (replicated).
+#  - "out" under "ff" is the FF down-projection (row); elsewhere ("out"
+#    convs etc.) it is filtered by ndim / left replicated.
+_PROJ_ROW_PARENTS = {"attn", "img", "txt"}
+# The fused "qkv" projection's output axis is HEAD-INTERLEAVED by model
+# layout (models/dit.py split_fused_qkv), so a plain column shard keeps
+# whole heads per device — attention is fully local under TP and the only
+# collective is the all-reduce after the row-parallel "proj".
 
 
 def _path_names(path) -> list:
@@ -46,12 +59,20 @@ def _leaf_spec(path, leaf) -> P:
         return P()
     field = names[-1]  # "weight" | "bias" | quant "values"/"scales"
     module = names[-2]
+    parent = names[-3] if len(names) >= 3 else ""
     # Only shard 2D matmul weights; convs/norms/embeddings stay replicated.
-    # GEGLU's "proj"/"out" live under an "ff" parent; plain "out" elsewhere
-    # (e.g. out_conv) is filtered by ndim.
     # Matmul weights are 2D (in, out), or 3D (layers, in, out) when layers
-    # are stacked for lax.scan (models/clip.py); a leading stack axis is
-    # never sharded.
+    # are stacked for lax.scan (models/clip.py, dit/mmdit blocks); a
+    # leading stack axis is never sharded.
+    if module == "proj":
+        if parent in _PROJ_ROW_PARENTS:
+            module = "out_proj"       # attention output -> row-parallel
+        elif parent == "ff":
+            module = "fc1"            # GEGLU up-projection -> column
+        else:
+            return P()                # e.g. final.proj unpatchify head
+    elif module == "out" and parent == "ff":
+        module = "fc2"                # FF down-projection -> row
     if module in COLUMN_PARALLEL:
         if field in ("weight", "values", "scales") and leaf.ndim in (2, 3):
             lead = (None,) * (leaf.ndim - 2)

@@ -28,7 +28,8 @@ class SD3Config:
         default_factory=lambda: clip.OPENCLIP_BIGG_CONFIG)
     mmdit: mmdit.MMDiTConfig = field(default_factory=lambda: mmdit.SD3_MEDIUM)
     vae: vae.VAEConfig = field(default_factory=lambda: vae.VAEConfig(
-        latent_channels=16, scale_factor=1.5305, shift_factor=0.0609))
+        latent_channels=16, scale_factor=1.5305, shift_factor=0.0609,
+        use_quant_conv=False))
     height: int = 1024
     width: int = 1024
     shift: float = 3.0
@@ -52,7 +53,8 @@ TINY_SD3 = SD3Config(
                             out_channels=4, dim=64, depth=2, num_heads=4,
                             context_dim=64, pooled_dim=48, context_len=8),
     vae=vae.VAEConfig(base_channels=16, channel_mult=(1, 1, 2), num_groups=8,
-                      latent_channels=4, scale_factor=1.5305),
+                      latent_channels=4, scale_factor=1.5305,
+                      use_quant_conv=False),
     height=32,
     width=32,
 )
