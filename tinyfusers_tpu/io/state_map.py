@@ -839,8 +839,10 @@ def mmdit_to_state(params, cfg=None) -> Dict[str, np.ndarray]:
 
 
 def sd3_params_from_state(state, cfg):
-    """Full SD3 single-file checkpoint -> pipeline/sd3 param tree."""
-    return {
+    """Full SD3 single-file checkpoint -> pipeline/sd3 param tree. The T5
+    tower is loaded when the config declares one AND the checkpoint
+    carries it (incl-t5 checkpoint variants)."""
+    params = {
         "clip_l": clip_hf_from_state(
             state, cfg.clip_l, "text_encoders.clip_l.transformer.text_model"),
         "clip_g": clip_hf_from_state(
@@ -848,6 +850,10 @@ def sd3_params_from_state(state, cfg):
         "mmdit": mmdit_from_state(state, cfg.mmdit),
         "vae": vae_from_state(state, cfg.vae),
     }
+    if getattr(cfg, "t5", None) is not None and any(
+            k.startswith(T5_PREFIX + ".") for k in state):
+        params["t5"] = t5_from_state(state, cfg.t5)
+    return params
 
 
 def sd3_state_from_params(params, cfg):
@@ -860,4 +866,81 @@ def sd3_state_from_params(params, cfg):
         "text_encoders.clip_g.transformer.text_model"))
     out.update(mmdit_to_state(params["mmdit"], cfg.mmdit))
     out.update(vae_to_state(params["vae"], cfg.vae))
+    if "t5" in params:
+        out.update(t5_to_state(params["t5"], cfg.t5))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder mapping (SD3's t5xxl tower; HF T5EncoderModel layout under
+# text_encoders.t5xxl.transformer.* in SD3 single-file checkpoints).
+# ---------------------------------------------------------------------------
+
+T5_PREFIX = "text_encoders.t5xxl.transformer"
+
+
+def t5_from_state(state, cfg, prefix: str = T5_PREFIX):
+    import jax
+
+    def get(k):
+        return state[f"{prefix}.{k}"]
+
+    def nb_linear(k):  # no-bias linear, torch (out,in) -> (in,out)
+        return {"weight": np.ascontiguousarray(get(k + ".weight").T)}
+
+    def layer(i):
+        lp = f"encoder.block.{i}"
+        return {
+            "attn_norm": {"weight": get(f"{lp}.layer.0.layer_norm.weight")},
+            "attn": {
+                "q": nb_linear(f"{lp}.layer.0.SelfAttention.q"),
+                "k": nb_linear(f"{lp}.layer.0.SelfAttention.k"),
+                "v": nb_linear(f"{lp}.layer.0.SelfAttention.v"),
+                "o": nb_linear(f"{lp}.layer.0.SelfAttention.o"),
+            },
+            "ff_norm": {"weight": get(f"{lp}.layer.1.layer_norm.weight")},
+            "ff": {
+                "wi_0": nb_linear(f"{lp}.layer.1.DenseReluDense.wi_0"),
+                "wi_1": nb_linear(f"{lp}.layer.1.DenseReluDense.wi_1"),
+                "wo": nb_linear(f"{lp}.layer.1.DenseReluDense.wo"),
+            },
+        }
+
+    emb_key = f"{prefix}.shared.weight"
+    if emb_key not in state:  # some exports store only encoder.embed_tokens
+        emb_key = f"{prefix}.encoder.embed_tokens.weight"
+    layers = [layer(i) for i in range(cfg.num_layers)]
+    return {
+        "token_embedding": {"weight": state[emb_key]},
+        "rel_bias": {"weight": get(
+            "encoder.block.0.layer.0.SelfAttention"
+            ".relative_attention_bias.weight")},
+        "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
+        "final_norm": {"weight": get("encoder.final_layer_norm.weight")},
+    }
+
+
+def t5_to_state(params, cfg, prefix: str = T5_PREFIX):
+    out = {}
+    out[f"{prefix}.shared.weight"] = np.asarray(
+        params["token_embedding"]["weight"])
+    out[f"{prefix}.encoder.block.0.layer.0.SelfAttention"
+        ".relative_attention_bias.weight"] = np.asarray(
+        params["rel_bias"]["weight"])
+    for i in range(cfg.num_layers):
+        lp = f"{prefix}.encoder.block.{i}"
+        layer = _tree_index(params["layers"], i)
+        out[f"{lp}.layer.0.layer_norm.weight"] = np.asarray(
+            layer["attn_norm"]["weight"])
+        for name in ("q", "k", "v", "o"):
+            out[f"{lp}.layer.0.SelfAttention.{name}.weight"] = (
+                np.ascontiguousarray(
+                    np.asarray(layer["attn"][name]["weight"]).T))
+        out[f"{lp}.layer.1.layer_norm.weight"] = np.asarray(
+            layer["ff_norm"]["weight"])
+        for name in ("wi_0", "wi_1", "wo"):
+            out[f"{lp}.layer.1.DenseReluDense.{name}.weight"] = (
+                np.ascontiguousarray(np.asarray(layer["ff"][name]["weight"]).T))
+    out[f"{prefix}.encoder.final_layer_norm.weight"] = np.asarray(
+        params["final_norm"]["weight"])
     return out

@@ -25,8 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import MODEL_AXIS
 
 COLUMN_PARALLEL = {"to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj",
-                   "fc1", "qkv"}
-ROW_PARALLEL = {"to_out", "out_proj", "fc2"}
+                   "fc1", "qkv",
+                   # T5 (models/t5.py): q/k/v and both gated-FF ups.
+                   # (the VAE mid-attention's 1x1 convs named q/k/v are 4D
+                   # and excluded by the ndim filter below)
+                   "q", "k", "v", "wi_0", "wi_1"}
+ROW_PARALLEL = {"to_out", "out_proj", "fc2",
+                "o", "wo"}  # T5 attention-out / FF-down
 # Names whose role depends on the parent module:
 #  - "proj" under "ff" is the GEGLU up-projection (column); under a
 #    DiT/MMDiT attention/stream dict ("attn"/"img"/"txt") it is the
