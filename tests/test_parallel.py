@@ -210,3 +210,84 @@ class TestTransformerBackboneTP:
             )(sp, *args)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=2e-3)
+
+
+class TestRingWiring:
+    """Ring attention wired into the real model forwards (VERDICT round-1
+    item 5: it was shelf-ware — correct but unreachable)."""
+
+    def test_unet_ring_matches_dense(self, mesh):
+        import dataclasses
+
+        cfg = unet.TINY_CONFIG
+        params = unet.init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (4, 16, 16, 4))
+        t = jnp.full((4,), 500.0)
+        ctx = jax.random.normal(jax.random.key(2), (4, 8, cfg.context_dim))
+        want = unet.apply(params, x, t, ctx, cfg)
+
+        rcfg = dataclasses.replace(cfg, self_attn_impl="ring:model,data")
+        sp = parallel.shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        args = [jax.device_put(a, data_sh) for a in (x, t, ctx)]
+        with jax.set_mesh(mesh):
+            got = jax.jit(
+                lambda p, a, b, c: unet.apply(p, a, b, c, rcfg))(sp, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_mmdit_ring_nondivisible_tokens(self, mesh):
+        """MMDiT joint attention: 16 img + 7 txt = 23 tokens — NOT
+        divisible by the 2-way model axis; exercises the ring pad+mask."""
+        import dataclasses
+
+        from tinyfusers_tpu.models import mmdit
+
+        cfg = dataclasses.replace(mmdit.TINY_MMDIT, context_len=7)
+        params = mmdit.init(jax.random.key(0), cfg)
+        params = jax.tree.map(
+            lambda x: x + 0.03 * jax.random.normal(jax.random.key(9), x.shape),
+            params)
+        x = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+        t = jnp.full((4,), 0.5)
+        ctx = jax.random.normal(jax.random.key(2), (4, 7, cfg.context_dim))
+        pooled = jax.random.normal(jax.random.key(3), (4, cfg.pooled_dim))
+        want = mmdit.apply(params, x, t, ctx, pooled, cfg)
+
+        rcfg = dataclasses.replace(cfg, attn_impl="ring:model,data")
+        sp = parallel.shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        args = [jax.device_put(a, data_sh) for a in (x, t, ctx, pooled)]
+        with jax.set_mesh(mesh):
+            got = jax.jit(
+                lambda p, a, b, c, d: mmdit.apply(p, a, b, c, d, rcfg)
+            )(sp, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)
+
+    def test_sd_generate_ring_e2e(self, mesh):
+        """End-to-end sampled image on the virtual mesh with sequence
+        sharding active in the UNet self-attention, matching the
+        unsharded pipeline bits-close (uint8 pixels)."""
+        import dataclasses
+
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((4, cfg.clip.max_length), jnp.int32)
+        latent = sd.initial_latent(jax.random.key(1), 4, cfg)
+        want = sd.generate(params, ids, ids, latent, jnp.float32(7.5),
+                           num_steps=2, cfg=cfg)
+
+        rcfg = dataclasses.replace(
+            cfg, unet=dataclasses.replace(
+                cfg.unet, self_attn_impl="ring:model,data"))
+        sp = {k: parallel.shard_params(v, mesh) for k, v in params.items()}
+        data_sh = NamedSharding(mesh, P("data"))
+        ids_s = jax.device_put(ids, data_sh)
+        lat_s = jax.device_put(latent, data_sh)
+        with jax.set_mesh(mesh):
+            got = sd.generate(sp, ids_s, ids_s, lat_s, jnp.float32(7.5),
+                              num_steps=2, cfg=rcfg)
+        diff = np.abs(np.asarray(got).astype(np.int32)
+                      - np.asarray(want).astype(np.int32))
+        assert diff.max() <= 1, f"max pixel diff {diff.max()}"

@@ -37,6 +37,9 @@ class MMDiTConfig:
     context_dim: int = 4096        # joint text embedding width
     pooled_dim: int = 2048         # pooled CLIP-L+G conditioning
     context_len: int = 77
+    # Joint-attention impl override (ops.sdpa impl string, e.g.
+    # "ring:model"); static jit key via the frozen config.
+    attn_impl: "str | None" = None
 
 
 SD3_MEDIUM = MMDiTConfig()
@@ -141,7 +144,7 @@ def _block(p, img, txt, c, cfg: MMDiTConfig):
     q = jnp.concatenate([qi, qt], axis=2)
     k = jnp.concatenate([ki, kt], axis=2)
     v = jnp.concatenate([vi, vt], axis=2)
-    o = _unheads(ops.sdpa(q, k, v))
+    o = _unheads(ops.sdpa(q, k, v, impl=cfg.attn_impl))
     img = _stream_post(p["img"], img, o[:, :ti], gi)
     txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
     return img, txt

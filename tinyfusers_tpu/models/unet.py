@@ -43,6 +43,11 @@ class UNetConfig:
     # SDXL "text_time" ADM conditioning: pooled text emb + size embeddings
     # fed through a second MLP and added to the timestep embedding.
     adm_in_channels: Optional[int] = None
+    # Spatial SELF-attention impl override (ops.sdpa impl string, e.g.
+    # "ring:model" for sequence parallelism over the mesh's model axis).
+    # Part of the frozen config so it participates in jit's static key —
+    # dataclasses.replace(cfg, self_attn_impl=...) to opt in.
+    self_attn_impl: Optional[str] = None
 
     def heads_for(self, ch: int) -> Tuple[int, int]:
         if self.head_dim is not None:
@@ -293,7 +298,7 @@ def _res_apply(p, x, emb, cfg: UNetConfig):
     return x + h
 
 
-def _xattn_apply(p, x, context, num_heads: int):
+def _xattn_apply(p, x, context, num_heads: int, impl=None):
     b, t, _ = x.shape
     s = context.shape[1]
     q = ops.linear(x, p["to_q"]["weight"])
@@ -303,14 +308,17 @@ def _xattn_apply(p, x, context, num_heads: int):
     q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-    o = ops.sdpa(q, k, v)
+    o = ops.sdpa(q, k, v, impl=impl)
     o = o.transpose(0, 2, 1, 3).reshape(b, t, num_heads * hd)
     return ops.linear(o, p["to_out"]["weight"], p["to_out"]["bias"])
 
 
-def _transformer_block_apply(p, x, context, num_heads: int):
+def _transformer_block_apply(p, x, context, num_heads: int, self_impl=None):
     h = ops.layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"])
-    x = x + _xattn_apply(p["attn1"], h, h, num_heads)
+    # self-attention: the only site where tokens attend to tokens -> the
+    # sequence-parallel (ring) override applies here; cross-attention
+    # keys are the 77-token text context and stay on the default path.
+    x = x + _xattn_apply(p["attn1"], h, h, num_heads, impl=self_impl)
     h = ops.layer_norm(x, p["norm2"]["weight"], p["norm2"]["bias"])
     x = x + _xattn_apply(p["attn2"], h, context, num_heads)
     h = ops.layer_norm(x, p["norm3"]["weight"], p["norm3"]["bias"])
@@ -329,7 +337,8 @@ def _attn_apply(p, x, context, spec: AttnSpec, cfg: UNetConfig):
     x = ops.conv2d(x, p["proj_in"]["weight"], p["proj_in"]["bias"])
     x = x.reshape(n, h * w, c)
     for bp in p["blocks"]:
-        x = _transformer_block_apply(bp, x, context, num_heads)
+        x = _transformer_block_apply(bp, x, context, num_heads,
+                                     self_impl=cfg.self_attn_impl)
     x = x.reshape(n, h, w, c)
     x = ops.conv2d(x, p["proj_out"]["weight"], p["proj_out"]["bias"])
     return x + x_in

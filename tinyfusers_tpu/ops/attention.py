@@ -65,13 +65,25 @@ def sdpa(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jax.Array:
-    """Dispatching SDPA. impl in {None, 'xla', 'flash'}."""
+    """Dispatching SDPA. impl in {None, 'xla', 'flash',
+    'ring[:seq_axis[,batch_axis]]'}.
+
+    'ring' is the sequence-parallel path (parallel/ring_attention.py):
+    the token axis is sharded over the named mesh axis and k/v shards
+    rotate via ppermute. Opt-in via model configs
+    (UNetConfig.self_attn_impl / MMDiTConfig.attn_impl) so the choice is
+    part of jit's static config — never a mid-trace global."""
     if impl is None:
         impl = _default_impl(q, mask)
     if impl == "flash":
         from ..kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask, scale=scale)
+    if impl.startswith("ring"):
+        from ..parallel.ring_attention import ring_sdpa
+
+        assert mask is None, "ring attention does not support masks yet"
+        return ring_sdpa(q, k, v, impl, scale=scale)
     return sdpa_xla(q, k, v, mask, scale=scale)
 
 
