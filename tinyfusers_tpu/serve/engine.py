@@ -54,6 +54,14 @@ class Result:
     image: np.ndarray            # (H, W, 3) uint8
 
 
+def _to_host(img) -> np.ndarray:
+    """Fetch a (replicated) device image to host — via the local shard
+    when the array spans other processes' devices."""
+    if hasattr(img, "is_fully_addressable") and not img.is_fully_addressable:
+        return np.asarray(img.addressable_data(0))
+    return np.asarray(img)
+
+
 class _PySchedulerCore:
     """Pure-Python fallback mirroring native/scheduler.cpp semantics."""
 
@@ -165,11 +173,13 @@ class Engine:
         h, w, c = cfg.latent_shape
         dtype = jax.tree.leaves(params["unet"])[0].dtype
         self._dtype = dtype
-        self.latents = jnp.zeros((num_slots, h, w, c), dtype)
+        # np zeros (not jnp) so device_put can form GLOBAL arrays in
+        # multi-process mode (np input = "same value on every host").
+        self.latents = np.zeros((num_slots, h, w, c), jnp.dtype(dtype))
         t = cfg.clip.max_length
         d = cfg.clip.dim
         # contexts layout: [uncond(S) ‖ cond(S)] to match denoise batching
-        self.contexts = jnp.zeros((2 * num_slots, t, d), dtype)
+        self.contexts = np.zeros((2 * num_slots, t, d), jnp.dtype(dtype))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -181,6 +191,11 @@ class Engine:
             data_sh = NamedSharding(mesh, P(DATA_AXIS))
             self.latents = jax.device_put(self.latents, data_sh)
             self.contexts = jax.device_put(self.contexts, data_sh)
+            self._replicated = NamedSharding(mesh, P())
+        else:
+            self.latents = jnp.asarray(self.latents)
+            self.contexts = jnp.asarray(self.contexts)
+            self._replicated = None
         self.guidance = np.zeros((num_slots,), np.float32)
         self._steps_total: Dict[int, int] = {}   # slot -> total steps
         self._ladders: Dict[int, np.ndarray] = {}  # per distinct num_steps
@@ -192,15 +207,30 @@ class Engine:
         self._encode = jax.jit(
             lambda p, ids: sd.encode_text(p, ids, cfg)
         )
-        self._decode = jax.jit(
-            lambda p, z: vae_model.to_image(vae_model.decode(p, z, cfg.vae))
-        )
+        def _decode_fn(vae_params, latents, slot):
+            z = jax.lax.dynamic_index_in_dim(latents, slot, axis=0,
+                                             keepdims=True)
+            img = vae_model.to_image(vae_model.decode(vae_params, z, cfg.vae))
+            return img[0]
+
+        if self._replicated is not None:
+            self._decode = jax.jit(_decode_fn, out_shardings=self._replicated)
+        else:
+            self._decode = jax.jit(_decode_fn)
         self._step = jax.jit(self._slot_step)
 
     # -- jitted per-tick step over all slots -----------------------------
 
-    def _slot_step(self, unet_params, latents, contexts, guidance, t, a_t, a_prev, active):
+    def _slot_step(self, unet_params, latents, contexts, guidance, t, a_t,
+                   a_prev, active, inj_mask, inj_lat, inj_ctx):
+        """All slot-state mutation lives INSIDE the jitted step: newly
+        assigned requests' initial latents/contexts arrive as host
+        vectors and are merged functionally (multi-host safe — global
+        arrays are never indexed or .at[]-updated from host code)."""
         s = latents.shape[0]
+        latents = jnp.where(inj_mask[:, None, None, None], inj_lat, latents)
+        inj2 = jnp.concatenate([inj_mask, inj_mask], axis=0)
+        contexts = jnp.where(inj2[:, None, None], inj_ctx, contexts)
         lat2 = jnp.concatenate([latents, latents], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         eps = unet_model.apply(unet_params, lat2, t2, contexts, self.cfg.unet)
@@ -210,7 +240,7 @@ class Engine:
             latents, e_t, a_t[:, None, None, None], a_prev[:, None, None, None]
         )
         keep = active[:, None, None, None]
-        return jnp.where(keep, new, latents)
+        return jnp.where(keep, new, latents), contexts
 
     # -- public API ------------------------------------------------------
 
@@ -245,21 +275,33 @@ class Engine:
 
     def step(self) -> List[Result]:
         """One scheduler tick: admit, denoise every active slot by one
-        step, harvest completions. Returns decoded results."""
+        step, harvest completions. Returns decoded results.
+
+        Admissions are staged as HOST vectors (inj_*) and merged inside
+        the jitted step; with >1 process every per-tick control tensor is
+        broadcast from process 0, so all hosts feed the global arrays
+        identical inputs."""
+        np_dtype = jnp.dtype(self._dtype)
+        h, w, c = self.cfg.latent_shape
+        t_len, d = self.cfg.clip.max_length, self.cfg.clip.dim
+        inj_mask = np.zeros((self.S,), bool)
+        inj_lat = np.zeros((self.S, h, w, c), np_dtype)
+        inj_ctx = np.zeros((2 * self.S, t_len, d), np_dtype)
         for rid, slot, steps in self.core.assign():
             req = self._requests[rid]
             self._steps_total[slot] = steps
             self.guidance[slot] = req.guidance
             ids = jnp.asarray(req.prompt_ids)[None]
             uids = jnp.asarray(req.uncond_ids)[None]
-            ctx = self._encode(self.params, ids)[0].astype(self._dtype)
-            uctx = self._encode(self.params, uids)[0].astype(self._dtype)
-            self.contexts = self.contexts.at[slot].set(uctx)
-            self.contexts = self.contexts.at[self.S + slot].set(ctx)
-            lat0 = jax.random.normal(
-                jax.random.key(req.seed), self.cfg.latent_shape, self._dtype
-            )
-            self.latents = self.latents.at[slot].set(lat0)
+            # text encode runs process-locally (replicated inputs) and is
+            # deterministic, so every host stages identical vectors
+            inj_ctx[self.S + slot] = np.asarray(
+                self._encode(self.params, ids)[0]).astype(np_dtype)
+            inj_ctx[slot] = np.asarray(
+                self._encode(self.params, uids)[0]).astype(np_dtype)
+            inj_lat[slot] = np.asarray(jax.random.normal(
+                jax.random.key(req.seed), self.cfg.latent_shape, self._dtype))
+            inj_mask[slot] = True
 
         # Per-slot (t, a_t, a_prev) from remaining counts; inactive slots
         # get harmless identity values (a_t = a_prev = 1).
@@ -283,21 +325,26 @@ class Engine:
         if jax.process_count() > 1:
             from ..parallel.distributed import sync_decision
 
-            t, a_t, a_prev, active, guidance = sync_decision(
-                (t, a_t, a_prev, active, self.guidance))
+            (t, a_t, a_prev, active, guidance, inj_mask, inj_lat,
+             inj_ctx) = sync_decision(
+                (t, a_t, a_prev, active, self.guidance, inj_mask, inj_lat,
+                 inj_ctx))
         else:
             guidance = self.guidance
 
         if active.any():
-            self.latents = self._step(
+            self.latents, self.contexts = self._step(
                 self.params["unet"], self.latents, self.contexts,
                 jnp.asarray(guidance), jnp.asarray(t),
                 jnp.asarray(a_t), jnp.asarray(a_prev), jnp.asarray(active),
+                jnp.asarray(inj_mask), jnp.asarray(inj_lat),
+                jnp.asarray(inj_ctx),
             )
 
         for rid, slot in self.core.tick():
             # Async dispatch: enqueue the decode, harvest when ready.
-            img = self._decode(self.params["vae"], self.latents[slot][None])
+            img = self._decode(self.params["vae"], self.latents,
+                               jnp.int32(slot))
             self._pending_decodes.append((rid, img))
             self._steps_total.pop(slot, None)
             self._requests.pop(rid, None)
@@ -311,7 +358,7 @@ class Engine:
                 is_ready = getattr(img, "is_ready", None)
                 ready = is_ready() if callable(is_ready) else True
             if ready:
-                done.append(Result(rid, np.asarray(img[0])))
+                done.append(Result(rid, _to_host(img)))
             else:
                 still.append((rid, img))
         self._pending_decodes = still
