@@ -241,3 +241,47 @@ class TestSDPA:
         ).numpy()
         got = ops.sdpa_xla(jnp.array(q), jnp.array(q), jnp.array(q), jnp.array(keep))
         assert_close(got, want, atol=1e-4, rtol=1e-3)
+
+
+class TestGroupedConv:
+    """groups>1 conv vs torch (reference depthwise kernel capability,
+    native/cuda/conv2d.cu:4-60 -> ops/conv.py feature_group_count)."""
+
+    @pytest.mark.parametrize("groups,cin,cout", [(2, 8, 12), (4, 8, 8)])
+    def test_grouped_matches_torch(self, groups, cin, cout):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 9, 9, cin)).astype(np.float32)
+        w = rng.standard_normal((3, 3, cin // groups, cout)).astype(np.float32)
+        b = rng.standard_normal((cout,)).astype(np.float32)
+
+        got = np.asarray(ops.conv2d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+            padding=1, groups=groups))
+        with torch.no_grad():
+            want = torch.nn.functional.conv2d(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                torch.from_numpy(w).permute(3, 2, 0, 1),
+                torch.from_numpy(b), padding=1, groups=groups,
+            ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    def test_depthwise_matches_torch(self):
+        """groups == C_in == C_out: the reference's depthwise kernel
+        (conv2d.cu), incl. stride and dilation."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        c = 6
+        x = rng.standard_normal((1, 12, 12, c)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 1, c)).astype(np.float32)
+
+        got = np.asarray(ops.conv2d(
+            jnp.asarray(x), jnp.asarray(w), None,
+            stride=2, padding=2, dilation=2, groups=c))
+        with torch.no_grad():
+            want = torch.nn.functional.conv2d(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                torch.from_numpy(w).permute(3, 2, 0, 1),
+                None, stride=2, padding=2, dilation=2, groups=c,
+            ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -333,7 +333,10 @@ def _attn_apply(p, x, context, spec: AttnSpec, cfg: UNetConfig):
     n, h, w, c = x.shape
     num_heads, _ = cfg.heads_for(c)
     x_in = x
-    x = ops.group_norm(x, cfg.num_groups, p["norm"]["weight"], p["norm"]["bias"])
+    # SpatialTransformer's GN uses eps=1e-6 in real SD checkpoints
+    # (ldm.modules.attention.Normalize), unlike the ResBlocks' 1e-5.
+    x = ops.group_norm(x, cfg.num_groups, p["norm"]["weight"], p["norm"]["bias"],
+                       eps=1e-6)
     x = ops.conv2d(x, p["proj_in"]["weight"], p["proj_in"]["bias"])
     x = x.reshape(n, h * w, c)
     for bp in p["blocks"]:

@@ -171,9 +171,9 @@ def init(key, cfg: VAEConfig = SD_VAE_CONFIG, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def _resnet_apply(p, x, num_groups):
-    h = ops.group_norm(x, num_groups, p["norm1"]["weight"], p["norm1"]["bias"])
+    h = ops.group_norm(x, num_groups, p["norm1"]["weight"], p["norm1"]["bias"], eps=1e-6)
     h = ops.conv2d(ops.swish(h), p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
-    h = ops.group_norm(h, num_groups, p["norm2"]["weight"], p["norm2"]["bias"])
+    h = ops.group_norm(h, num_groups, p["norm2"]["weight"], p["norm2"]["bias"], eps=1e-6)
     h = ops.conv2d(ops.swish(h), p["conv2"]["weight"], p["conv2"]["bias"], padding=1)
     if "nin_shortcut" in p:
         x = ops.conv2d(x, p["nin_shortcut"]["weight"], p["nin_shortcut"]["bias"])
@@ -184,7 +184,7 @@ def _attnblock_apply(p, x, num_groups):
     """Single-head self-attention over spatial tokens (reference
     attention/attention.py:10-24)."""
     n, h, w, c = x.shape
-    hn = ops.group_norm(x, num_groups, p["norm"]["weight"], p["norm"]["bias"])
+    hn = ops.group_norm(x, num_groups, p["norm"]["weight"], p["norm"]["bias"], eps=1e-6)
     q = ops.conv2d(hn, p["q"]["weight"], p["q"]["bias"]).reshape(n, h * w, c)
     k = ops.conv2d(hn, p["k"]["weight"], p["k"]["bias"]).reshape(n, h * w, c)
     v = ops.conv2d(hn, p["v"]["weight"], p["v"]["bias"]).reshape(n, h * w, c)
@@ -215,7 +215,7 @@ def encode(params, x: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
                 stride=2, padding=(0, 1, 0, 1),
             )
     x = _mid_apply(p["mid"], x, g)
-    x = ops.group_norm(x, g, p["norm_out"]["weight"], p["norm_out"]["bias"])
+    x = ops.group_norm(x, g, p["norm_out"]["weight"], p["norm_out"]["bias"], eps=1e-6)
     x = ops.conv2d(ops.swish(x), p["conv_out"]["weight"], p["conv_out"]["bias"], padding=1)
     if cfg.use_quant_conv:
         x = ops.conv2d(x, params["quant_conv"]["weight"], params["quant_conv"]["bias"])
@@ -242,7 +242,7 @@ def decode(params, z: jax.Array, cfg: VAEConfig = SD_VAE_CONFIG) -> jax.Array:
         if "upsample" in stage:
             x = ops.upsample_nearest_2x(x)
             x = ops.conv2d(x, stage["upsample"]["weight"], stage["upsample"]["bias"], padding=1)
-    x = ops.group_norm(x, g, p["norm_out"]["weight"], p["norm_out"]["bias"])
+    x = ops.group_norm(x, g, p["norm_out"]["weight"], p["norm_out"]["bias"], eps=1e-6)
     x = ops.conv2d(ops.swish(x), p["conv_out"]["weight"], p["conv_out"]["bias"], padding=1)
     return x
 
