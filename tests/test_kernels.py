@@ -105,6 +105,43 @@ class TestQuantMatmul:
                                    atol=5e-3, rtol=5e-2)
 
 
+class TestQuantMatmulInt4:
+    """Fused int4 per-group dequant-matmul vs the XLA dequantize path
+    (VERDICT r1 item 7: int4 must stop round-tripping through XLA
+    dequantize when the quant kernel is on)."""
+
+    @pytest.mark.parametrize("kdim,n,g", [(256, 192, 64), (320, 128, 32),
+                                          (130, 128, 65)])
+    def test_matches_dequant_matmul(self, kdim, n, g):
+        from tinyfusers_tpu.kernels.quant_matmul import quant_matmul_int4
+        from tinyfusers_tpu import ops
+        from tinyfusers_tpu.ops.quant import quantize_int4
+
+        x = jax.random.normal(jax.random.key(0), (2, 48, kdim), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (kdim, n), jnp.float32)
+        b = jax.random.normal(jax.random.key(2), (n,), jnp.float32)
+        qw = quantize_int4(w, axis=0, group_size=g)
+        want = x.reshape(-1, kdim) @ qw.dequantize(jnp.float32) + b
+        got = quant_matmul_int4(x, qw, b, block_m=128, block_n=128,
+                                block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got).reshape(-1, n),
+                                   np.asarray(want), atol=2e-3, rtol=2e-2)
+
+    def test_linear_dispatch_parity(self):
+        """ops.linear int4 XLA fallback == the fused kernel's math."""
+        from tinyfusers_tpu.kernels.quant_matmul import quant_matmul_int4
+        from tinyfusers_tpu import ops
+        from tinyfusers_tpu.ops.quant import quantize_int4
+
+        x = jax.random.normal(jax.random.key(0), (16, 256), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (256, 128), jnp.float32)
+        qw = quantize_int4(w, axis=0, group_size=64)
+        want = ops.linear(x, qw)  # XLA dequantize path off-TPU
+        got = quant_matmul_int4(x, qw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+
 class TestFlashLargeShapes:
     """VERDICT round-1 item 10: the SDXL VAE-mid decode shape (one head,
     d=512, 16k tokens) and the SDXL self-attention extreme must go

@@ -140,6 +140,21 @@ class TestNorms:
         got = ops.layer_norm(jnp.array(x), jnp.array(w), jnp.array(b))
         assert_close(got, want, atol=1e-5, rtol=1e-4)
 
+    def test_layer_norm_fast_accum_close(self):
+        """bf16 normalize pass under fast-accum stays within bf16 ulp of
+        the fp32-elementwise default (stats are fp32 either way)."""
+        from tinyfusers_tpu.ops import policy
+
+        x = jnp.array(rand(2, 77, 768), jnp.bfloat16)
+        w, b = jnp.array(rand(768)), jnp.array(rand(768))
+        base = np.asarray(ops.layer_norm(x, w, b), dtype=np.float32)
+        policy.set_fast_accum(True)
+        try:
+            fast = np.asarray(ops.layer_norm(x, w, b), dtype=np.float32)
+        finally:
+            policy.set_fast_accum(False)
+        assert_close(fast, base, atol=0.125, rtol=0.05)
+
     @pytest.mark.parametrize("c,groups", [(320, 32), (64, 32), (512, 32)])
     def test_group_norm(self, c, groups):
         # torch is NCHW; ours is NHWC.

@@ -25,10 +25,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, sk_real: int, block_k: int, causal: bool,
+            sk_real: int, block_k: int, causal: bool,
             block_q: int, nk: int):
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -38,11 +39,14 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     pad_cols = nk * block_k != sk_real
 
     def logits():
+        # q arrives prescaled by scale*log2(e) (see flash_attention below):
+        # the softmax runs in base-2 (exp2), and no full (block_q, block_k)
+        # multiply pass is ever spent on the scale.
         q = q_ref[0]  # (block_q, d)
         k = k_ref[0]  # (block_k, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
+        )  # (block_q, block_k), base-2 logits
 
         col = None
         if pad_cols:
@@ -66,7 +70,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         # Single k block: plain in-block softmax, no running statistics.
         s = logits()
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if pad_cols or causal:
             l = jnp.where(l == 0.0, 1.0, l)
@@ -85,8 +89,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_prev = l_scr[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)     # (block_q, block_k)
-        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)    # (block_q, block_k)
+        correction = jnp.exp2(m_prev - m_new)
         l_new = correction * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc_scr[:] * correction + pv(p)
         m_scr[:] = m_new
@@ -122,14 +126,15 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 
 def _default_blocks(sq: int, sk: int, d: int) -> tuple:
     """Block sizes tuned on TPU v5e (benchmarks/flash_sweep.py, chained
-    device timing). The big self-attention shapes prefer a full-Sk single
-    k pass (no online-softmax corrections) when VMEM allows."""
+    device timing; retuned after the exp2/prescale kernel change). The
+    big self-attention shapes prefer a full-Sk single k pass (nk=1: no
+    online-softmax corrections or scratch RMW) when VMEM allows."""
     if sk >= 4096:
-        if d <= 96:        # SD1.5 64x64 (16,4096,40) -> 1.61 ms;
-            #                SDXL 32x    (20,4096,64) -> 2.24 ms
-            return 1024, 1024
-        return 128, 4096   # VAE mid:    (1, 4096, 512) -> 0.58 ms
-    return 512, 1024       # (16, 1024, 80) -> 0.42 ms; good mid-size default
+        if d <= 96:        # SD1.5 64x64 (16,4096,40) -> 1.72 ms;
+            #                SDXL 32x    (20,4096,64) -> 2.53 ms
+            return 256, 4096
+        return 128, 4096   # VAE mid:    (1, 4096, 512) -> 0.81 ms
+    return 512, 1024       # (16, 1024, 80) -> ~0.62 ms; mid-size default
 
 
 @functools.partial(
@@ -166,7 +171,11 @@ def flash_attention(
     if block_k is None:
         block_k = dbk
 
-    q3 = q.reshape(-1, sq, d)
+    # Prescale q by scale*log2(e): the kernel's softmax then runs in
+    # base 2 (exp2) with no per-logit scale multiply — one fewer full
+    # (block_q, block_k) VPU pass per k block. The prescale itself touches
+    # only the (Sq, d) q tensor and fuses into the surrounding program.
+    q3 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(-1, sq, d)
     k3 = k.reshape(-1, sk, d)
     v3 = v.reshape(-1, sk, d)
     bh = q3.shape[0]
@@ -180,7 +189,7 @@ def flash_attention(
     nk = k3.shape[1] // bk
 
     kernel = functools.partial(
-        _kernel, scale=scale, sk_real=sk, block_k=bk, causal=causal,
+        _kernel, sk_real=sk, block_k=bk, causal=causal,
         block_q=bq, nk=nk,
     )
     out = pl.pallas_call(

@@ -24,6 +24,13 @@ from .policy import accum_dtype
 from .quant import Int4Tensor, QuantizedTensor
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def linear(
     x: jax.Array,
     w,
@@ -40,21 +47,23 @@ def linear(
         compute_dtype = x.dtype
     acc = accum_dtype(compute_dtype)
     if isinstance(w, Int4Tensor):
-        # Weight-only int4: unpack+scale in-graph (XLA keeps the packed
-        # bytes as the HBM-resident form), then a plain dense matmul.
+        from .policy import quant_kernel
+
+        if (quant_kernel() and w.packed.ndim == 2 and w.axis == 0
+                and _on_tpu()):
+            from ..kernels.quant_matmul import quant_matmul_int4
+
+            return quant_matmul_int4(x.astype(compute_dtype), w, b)
+        # XLA fallback: unpack+scale in-graph (XLA keeps the packed bytes
+        # as the HBM-resident form), then a plain dense matmul.
         w = w.dequantize(compute_dtype)
     if isinstance(w, QuantizedTensor):
         from .policy import quant_kernel
 
-        if quant_kernel() and w.values.ndim == 2:
-            try:
-                on_tpu = jax.default_backend() == "tpu"
-            except Exception:  # pragma: no cover
-                on_tpu = False
-            if on_tpu:
-                from ..kernels.quant_matmul import quant_matmul
+        if quant_kernel() and w.values.ndim == 2 and _on_tpu():
+            from ..kernels.quant_matmul import quant_matmul
 
-                return quant_matmul(x.astype(compute_dtype), w, b)
+            return quant_matmul(x.astype(compute_dtype), w, b)
         y = jnp.dot(
             x.astype(compute_dtype),
             w.values.astype(compute_dtype),
