@@ -31,8 +31,9 @@ CFG = mmdit.MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
 POS_GRID = 6  # stored pos-embed grid (> input grid 4 -> exercises cropping)
 
 
-def _canonical_state(seed: int):
-    """Random state dict in the canonical SD3 single-file layout."""
+def _canonical_state(seed: int, qk_norm: bool = False):
+    """Random state dict in the canonical SD3 single-file layout.
+    qk_norm=True adds the SD3.5 attn.ln_{q,k} RMS weights."""
     rng = np.random.default_rng(seed)
     d, p, r = CFG.dim, CFG.patch_size, CFG.mlp_ratio
 
@@ -68,6 +69,10 @@ def _canonical_state(seed: int):
             s[f"{sp}.adaLN_modulation.1.bias"] = t(nmod * d)
             s[f"{sp}.attn.qkv.weight"] = t(3 * d, d)
             s[f"{sp}.attn.qkv.bias"] = t(3 * d)
+            if qk_norm:
+                hd = d // CFG.num_heads
+                s[f"{sp}.attn.ln_q.weight"] = 1.0 + t(hd)
+                s[f"{sp}.attn.ln_k.weight"] = 1.0 + t(hd)
             if not pre_only:
                 s[f"{sp}.attn.proj.weight"] = t(d, d)
                 s[f"{sp}.attn.proj.bias"] = t(d)
@@ -109,6 +114,17 @@ def _oracle(state, x, t_in, context, pooled):
         hd = dd // CFG.num_heads
         return z.reshape(bb, tt, CFG.num_heads, hd).transpose(1, 2)
 
+    def qknorm(z, key):
+        # SD3.5 per-head RMS qk-norm, applied when the checkpoint carries
+        # attn.ln_{q,k} weights (absent in SD3-medium layouts).
+        if f"model.diffusion_model.{key}.weight" not in state:
+            return z
+        bb, tt, dd = z.shape
+        hd = dd // CFG.num_heads
+        zh = z.reshape(bb, tt, CFG.num_heads, hd)
+        rms = torch.rsqrt(zh.pow(2).mean(-1, keepdim=True) + 1e-6)
+        return (zh * rms * g(key + ".weight")).reshape(bb, tt, dd)
+
     for i in range(CFG.depth):
         last = i == CFG.depth - 1
         xb = f"joint_blocks.{i}.x_block"
@@ -117,6 +133,8 @@ def _oracle(state, x, t_in, context, pooled):
             F.silu(c), f"{xb}.adaLN_modulation.1").chunk(6, dim=-1)
         hx = ln(tok) * (1 + sc1[:, None]) + sh1[:, None]
         qx, kx, vx = lin(hx, f"{xb}.attn.qkv").chunk(3, dim=-1)
+        qx = qknorm(qx, f"{xb}.attn.ln_q")
+        kx = qknorm(kx, f"{xb}.attn.ln_k")
         modc = lin(F.silu(c), f"{cb}.adaLN_modulation.1")
         if last:
             csh1, csc1 = modc.chunk(2, dim=-1)
@@ -124,6 +142,8 @@ def _oracle(state, x, t_in, context, pooled):
             csh1, csc1, cg1, csh2, csc2, cg2 = modc.chunk(6, dim=-1)
         hc = ln(ctx) * (1 + csc1[:, None]) + csh1[:, None]
         qc, kc, vc = lin(hc, f"{cb}.attn.qkv").chunk(3, dim=-1)
+        qc = qknorm(qc, f"{cb}.attn.ln_q")
+        kc = qknorm(kc, f"{cb}.attn.ln_k")
         tc = ctx.shape[1]
         # Canonical order: context tokens first (block_mixing in the SD3
         # reference impl); attention output is order-equivariant.
@@ -171,6 +191,42 @@ class TestMMDiTFromState:
         )(params, jnp.asarray(x), jnp.asarray(t_in), jnp.asarray(context),
           jnp.asarray(pooled)))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+    def test_qk_norm_matches_canonical_torch_oracle(self):
+        """SD3.5 variant: RMS qk-norm weights in the checkpoint must be
+        mapped and applied per head (models/mmdit.py _rms_qk)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, qk_norm="rms")
+        state = _canonical_state(4, qk_norm=True)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(
+            (1, cfg.input_size, cfg.input_size, cfg.in_channels)
+        ).astype(np.float32)
+        t_in = np.array([0.7], np.float32)
+        context = rng.standard_normal(
+            (1, cfg.context_len, cfg.context_dim)).astype(np.float32)
+        pooled = rng.standard_normal((1, cfg.pooled_dim)).astype(np.float32)
+
+        want = _oracle(state, x, t_in, context, pooled)
+        params = state_map.mmdit_from_state(state, cfg)
+        got = np.asarray(jax.jit(
+            lambda pr, *a: mmdit.apply(pr, *a, cfg=cfg)
+        )(params, jnp.asarray(x), jnp.asarray(t_in), jnp.asarray(context),
+          jnp.asarray(pooled)))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+    def test_qk_norm_key_parity_roundtrip(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, qk_norm="rms")
+        state = _canonical_state(6, qk_norm=True)
+        params = state_map.mmdit_from_state(state, cfg)
+        back = state_map.mmdit_to_state(params, cfg)
+        assert set(back) == set(state)
+        np.testing.assert_array_equal(
+            back["model.diffusion_model.joint_blocks.0.x_block.attn.ln_q.weight"],
+            state["model.diffusion_model.joint_blocks.0.x_block.attn.ln_q.weight"])
 
     def test_key_parity_roundtrip(self):
         """to_state(from_state(S)) reproduces S's exact key set, and every

@@ -717,6 +717,11 @@ def _mmdit_stream_from_state(get: Get, prefix: str, cfg, pre_only: bool):
             cfg.num_heads,
         ),
     }
+    if getattr(cfg, "qk_norm", None):
+        # SD3.5 per-head RMS qk-norm weights (shape (head_dim,), shared
+        # across heads — no layout permutation needed).
+        p["ln_q"] = {"weight": get(f"{prefix}.attn.ln_q.weight")}
+        p["ln_k"] = {"weight": get(f"{prefix}.attn.ln_k.weight")}
     if pre_only:
         z = np.zeros
         dt = mod_w.dtype
@@ -817,6 +822,9 @@ def mmdit_to_state(params, cfg=None) -> Dict[str, np.ndarray]:
         tw, tb = _fused_qkv_to_torch(p["qkv"], cfg.num_heads)
         out[f"{sp}.attn.qkv.weight"] = tw
         out[f"{sp}.attn.qkv.bias"] = tb
+        if "ln_q" in p:
+            out[f"{sp}.attn.ln_q.weight"] = np.asarray(p["ln_q"]["weight"])
+            out[f"{sp}.attn.ln_k.weight"] = np.asarray(p["ln_k"]["weight"])
         if not pre_only:
             _put_linear(out, f"{sp}.attn.proj", p["proj"])
             _put_linear(out, f"{sp}.mlp.fc1", p["mlp"]["fc1"])

@@ -40,19 +40,32 @@ class MMDiTConfig:
     # Joint-attention impl override (ops.sdpa impl string, e.g.
     # "ring:model"); static jit key via the frozen config.
     attn_impl: "str | None" = None
+    # Per-head RMS normalization of q/k before attention ("rms" | None).
+    # SD3.5 checkpoints carry attn.ln_q/ln_k RMSNorm weights; SD3-medium
+    # does not. Static config field -> part of the jit key.
+    qk_norm: "str | None" = None
 
 
 SD3_MEDIUM = MMDiTConfig()
+
+# SD3.5-large (8B): deeper/wider trunk + RMS qk-norm; everything else is
+# the SD3 MMDiT recipe at the same patch/context geometry.
+SD35_LARGE = MMDiTConfig(dim=2432, depth=38, num_heads=38, qk_norm="rms")
 
 TINY_MMDIT = MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
                          out_channels=4, dim=64, depth=2, num_heads=4,
                          context_dim=32, pooled_dim=16, context_len=8)
 
+TINY_MMDIT_QKN = MMDiTConfig(input_size=8, patch_size=2, in_channels=4,
+                             out_channels=4, dim=64, depth=2, num_heads=4,
+                             context_dim=32, pooled_dim=16, context_len=8,
+                             qk_norm="rms")
+
 
 def _stream_block_init(key, cfg: MMDiTConfig, dtype):
     ks = jax.random.split(key, 4)
     d = cfg.dim
-    return {
+    p = {
         "mod": {
             "weight": jnp.zeros((d, 6 * d), dtype),
             "bias": jnp.zeros((6 * d,), dtype),
@@ -64,6 +77,11 @@ def _stream_block_init(key, cfg: MMDiTConfig, dtype):
             "fc2": pinit.linear_params(ks[3], cfg.mlp_ratio * d, d, dtype=dtype),
         },
     }
+    if cfg.qk_norm:
+        hd = cfg.dim // cfg.num_heads
+        p["ln_q"] = {"weight": jnp.ones((hd,), dtype)}
+        p["ln_k"] = {"weight": jnp.ones((hd,), dtype)}
+    return p
 
 
 def _block_init(key, cfg: MMDiTConfig, dtype):
@@ -108,14 +126,28 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _stream_pre(p, x, c, num_heads):
+def _rms_qk(x, weight, eps=1e-6):
+    """Per-head RMSNorm over head_dim (SD3.5 attn.ln_q/ln_k), fp32 stats.
+    Layout-independent of the head-interleaved fused-qkv split: the
+    weight is shared across heads and applies along the hd axis."""
+    xf = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (xf * rms * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _stream_pre(p, x, c, cfg: MMDiTConfig):
     """Pre-attention: modulated LN + fused qkv (head-interleaved layout,
     see models/dit.py split_fused_qkv). Returns (q,k,v (B,H,T,hd), gates)."""
     mod = ops.linear(ops.silu(c), p["mod"]["weight"], p["mod"]["bias"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
     h = _modulate(ops.layer_norm(x), sh1, sc1)
     qkv = ops.linear(h, p["qkv"]["weight"], p["qkv"]["bias"])
-    q, k, v = split_fused_qkv(qkv, num_heads)
+    q, k, v = split_fused_qkv(qkv, cfg.num_heads)
+    if cfg.qk_norm == "rms":
+        q = _rms_qk(q, p["ln_q"]["weight"])
+        k = _rms_qk(k, p["ln_k"]["weight"])
+    elif cfg.qk_norm is not None:  # pragma: no cover
+        raise ValueError(f"unsupported qk_norm {cfg.qk_norm!r}")
     return q, k, v, (g1, sh2, sc2, g2)
 
 
@@ -136,8 +168,8 @@ def _stream_post(p, x, attn_out, gates):
 
 
 def _block(p, img, txt, c, cfg: MMDiTConfig):
-    qi, ki, vi, gi = _stream_pre(p["img"], img, c, cfg.num_heads)
-    qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg.num_heads)
+    qi, ki, vi, gi = _stream_pre(p["img"], img, c, cfg)
+    qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg)
     ti = img.shape[1]
     # Joint attention over [img ‖ txt] tokens (concat on the token axis —
     # q/k/v are already (B, H, T, hd)).

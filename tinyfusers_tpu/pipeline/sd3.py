@@ -48,6 +48,10 @@ class SD3Config:
 
 SD3_MEDIUM_CFG = SD3Config()
 SD3_MEDIUM_T5_CFG = SD3Config(t5=t5_model.T5_XXL)
+# SD3.5-large: same pipeline (dual CLIP [+T5], 16ch VAE, rectified flow),
+# bigger MMDiT trunk with RMS qk-norm (models/mmdit.py SD35_LARGE).
+SD35_LARGE_CFG = SD3Config(mmdit=mmdit.SD35_LARGE)
+SD35_LARGE_T5_CFG = SD3Config(mmdit=mmdit.SD35_LARGE, t5=t5_model.T5_XXL)
 
 TINY_SD3 = SD3Config(
     clip_l=clip.CLIPConfig(vocab_size=128, max_length=8, dim=16,
