@@ -92,12 +92,14 @@ def save_state_dict(state: Dict[str, np.ndarray], path) -> None:
     offset = 0
     blobs = []
     for name, arr in state.items():
+        arr = np.asarray(arr)
+        shape = list(arr.shape)  # before ascontiguousarray: it 1-d-ifies 0-d
         arr = np.ascontiguousarray(arr)
         key = rev[arr.dtype]
         nbytes = arr.nbytes
         header[name] = {
             "dtype": key,
-            "shape": list(arr.shape),
+            "shape": shape,
             "data_offsets": [offset, offset + nbytes],
         }
         blobs.append(arr.tobytes())
