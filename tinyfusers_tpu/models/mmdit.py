@@ -44,6 +44,11 @@ class MMDiTConfig:
     # SD3.5 checkpoints carry attn.ln_q/ln_k RMSNorm weights; SD3-medium
     # does not. Static config field -> part of the jit key.
     qk_norm: "str | None" = None
+    # Pipeline parallelism over the block stack: number of microbatches
+    # (GPipe schedule, parallel/pipeline.py). Requires an ambient mesh
+    # with a "pipe" axis (jax.set_mesh) whose size divides `depth`, and a
+    # batch divisible by the microbatch count. None = plain lax.scan.
+    pipeline_microbatches: "int | None" = None
 
 
 SD3_MEDIUM = MMDiTConfig()
@@ -220,12 +225,27 @@ def apply(
                     params["pooled_mlp"]["fc2"]["bias"])
     c = c + pc
 
-    def body(carry, bp):
-        img, txt = carry
-        img, txt = _block(bp, img, txt, c, cfg)
-        return (img, txt), None
+    if cfg.pipeline_microbatches:
+        from ..parallel import pipeline as _pp
 
-    (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+        def blk(bp, carry):
+            # conditioning c rides the carry so it is microbatched in
+            # lock-step with the streams (it has a batch dim)
+            im, tx, cc = carry
+            im, tx = _block(bp, im, tx, cc, cfg)
+            return (im, tx, cc)
+
+        img, txt, _ = _pp.pipeline_apply(
+            blk, params["blocks"], (img, txt, c),
+            mesh=None,  # ambient mesh (jax.set_mesh)
+            microbatches=cfg.pipeline_microbatches)
+    else:
+        def body(carry, bp):
+            img, txt = carry
+            img, txt = _block(bp, img, txt, c, cfg)
+            return (img, txt), None
+
+        (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
 
     mod = ops.linear(ops.silu(c), params["final"]["mod"]["weight"],
                      params["final"]["mod"]["bias"])
