@@ -170,6 +170,32 @@ class TestNorms:
 
 
 class TestConv2d:
+    def test_bf16_grad_matches_f32(self):
+        """bf16 conv must be differentiable (custom_vjp works around
+        JAX's mixed-dtype conv-transpose rejection with an f32
+        preferred_element_type) and track the f32 gradient."""
+        import jax
+        import jax.numpy as jnp
+        from tinyfusers_tpu import ops
+
+        x32 = jnp.asarray(rand(2, 6, 6, 8), jnp.float32)
+        w32 = jnp.asarray(rand(3, 3, 8, 4, scale=0.2), jnp.float32)
+
+        def loss(x, w):
+            y = ops.conv2d(x, w, stride=2, padding=(0, 1, 0, 1))
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        gx32, gw32 = jax.grad(loss, argnums=(0, 1))(x32, w32)
+        gx16, gw16 = jax.grad(loss, argnums=(0, 1))(
+            x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16))
+        assert gx16.dtype == jnp.bfloat16 and gw16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(gx16, np.float32), np.asarray(gx32),
+            rtol=0.1, atol=0.1)
+        np.testing.assert_allclose(
+            np.asarray(gw16, np.float32), np.asarray(gw32),
+            rtol=0.1, atol=0.5)
+
     @pytest.mark.parametrize(
         "cin,cout,k,stride,padding",
         [

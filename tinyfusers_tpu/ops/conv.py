@@ -13,6 +13,7 @@ HWIO once at load time.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -20,6 +21,46 @@ import jax.numpy as jnp
 from jax import lax
 
 PadLike = Union[int, Sequence[int]]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _conv_acc(x, w, stride, pad, dilation, groups, acc):
+    """conv_general_dilated with a widened (f32) accumulator output.
+
+    Wrapped in custom_vjp because JAX's conv transpose rule rejects the
+    mixed-dtype call it would build for bf16 operands with an f32
+    preferred_element_type (f32 cotangent x bf16 weight). The backward
+    runs the standard same-dtype transposed convs in the operand dtype —
+    ordinary mixed-precision training semantics (bf16 grads, f32 MXU
+    accumulation internally)."""
+    return lax.conv_general_dilated(
+        x, w, stride, pad, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=acc,
+    )
+
+
+def _conv_acc_fwd(x, w, stride, pad, dilation, groups, acc):
+    return _conv_acc(x, w, stride, pad, dilation, groups, acc), (x, w)
+
+
+def _conv_acc_bwd(stride, pad, dilation, groups, acc, res, g):
+    x, w = res
+
+    def same_dtype_conv(xx, ww):
+        return lax.conv_general_dilated(
+            xx, ww, stride, pad, rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+
+    _, vjp = jax.vjp(same_dtype_conv, x, w)
+    gx, gw = vjp(g.astype(x.dtype))
+    return gx, gw
+
+
+_conv_acc.defvjp(_conv_acc_fwd, _conv_acc_bwd)
 
 
 def _normalize_padding(padding: PadLike) -> Tuple[Tuple[int, int], Tuple[int, int]]:
@@ -71,15 +112,10 @@ def conv2d(
         scales = w.scales  # (1, 1, 1, O)
         w = w.values
 
-    y = lax.conv_general_dilated(
+    y = _conv_acc(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
-        window_strides=stride,
-        padding=pad,
-        rhs_dilation=dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=acc,
+        tuple(stride), pad, tuple(dilation), groups, acc,
     )
     if scales is not None:
         y = y * scales.reshape(1, 1, 1, -1).astype(acc)
