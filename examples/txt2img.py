@@ -45,8 +45,9 @@ def main():
                    default="none",
                    help="weight-only quantization for the UNet")
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--sampler", choices=["ddim", "euler", "euler_ancestral",
-                                         "dpmpp_2m"], default="ddim")
+    from tinyfusers_tpu.pipeline.samplers import SAMPLERS
+
+    p.add_argument("--sampler", choices=list(SAMPLERS), default="ddim")
     p.add_argument("--timing", action="store_true")
     args = p.parse_args()
 
@@ -114,7 +115,7 @@ def main():
                    if any(x != 1.0 for x in w) else None)
         uids = make_ids(args.negative_prompt, cfg.clip.max_length)
         skey = (jax.random.key(args.seed + 1)
-                if args.sampler == "euler_ancestral" else None)
+                if "ancestral" in args.sampler else None)
         gen = lambda: sd.generate(params, ids, uids, latent,
                                   jnp.float32(args.guidance),
                                   num_steps=args.steps, cfg=cfg,

@@ -90,6 +90,61 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-4)
 
+    @pytest.mark.parametrize(
+        "b,s,h,d",
+        [
+            (2, 256, 4, 40),   # SD1.5-style packed heads
+            (1, 300, 2, 64),   # padded lengths
+        ],
+    )
+    def test_packed_layout_matches_bhsd(self, b, s, h, d):
+        """layout='packed' ((B,S,H*d) channel-packed, per-head lane
+        slices inside the kernel) must agree with the flattened-grid
+        bhsd path."""
+        q, k, v = (rand(i, b, s, h * d) for i in range(3))
+        unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+        want = sdpa_xla(unpack(q), unpack(k), unpack(v))
+        want = want.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        got = flash_attention(q, k, v, block_q=128, interpret=True,
+                              layout="packed", heads=h)
+        assert got.shape == (b, s, h * d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_packed_cross_attention_short_kv(self):
+        """Cross-attn geometry: kv length 77 (padded single k block)."""
+        b, sq, sk, h, d = 2, 256, 77, 4, 40
+        q = rand(0, b, sq, h * d)
+        k, v = rand(1, b, sk, h * d), rand(2, b, sk, h * d)
+        unpack = lambda x, s: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+        want = sdpa_xla(unpack(q, sq), unpack(k, sk), unpack(v, sk))
+        want = want.transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+        got = flash_attention(q, k, v, block_q=128, interpret=True,
+                              layout="packed", heads=h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_packed_rejects_oversized_kv(self):
+        """Geometries whose key sequence can't fit one VMEM block must
+        raise (the dispatcher falls back to bhsd before this)."""
+        q = rand(0, 1, 8192, 16 * 128)
+        with pytest.raises(ValueError):
+            flash_attention(q, q, q, layout="packed", heads=16)
+
+    def test_sdpa_packed_dispatch_paths(self):
+        """ops.sdpa_packed: xla fallback and (interpreted) flash packed
+        agree with the unpacked reference."""
+        from tinyfusers_tpu.ops.attention import sdpa_packed
+
+        b, s, h, d = 2, 64, 4, 32
+        q, k, v = (rand(i, b, s, h * d) for i in range(3))
+        unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+        want = sdpa_xla(unpack(q), unpack(k), unpack(v))
+        want = want.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        got = sdpa_packed(q, k, v, heads=h, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
 
 class TestQuantMatmul:
     def test_matches_xla_fallback(self):

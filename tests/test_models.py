@@ -159,6 +159,33 @@ class TestPipeline:
         assert img1.shape == (1, 32, 32, 3) and img1.dtype == jnp.uint8
         np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
 
+    def test_guidance_free_matches_cfg_at_guidance_one(self):
+        """uncond_ids=None (SD-Turbo/LCM path, single-batch UNet) must
+        produce the same image as CFG with guidance=1.0, where
+        cfg_combine(u, c, 1) == c mathematically."""
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        want = sd.generate(params, ids, uids, lat, jnp.float32(1.0),
+                           num_steps=2, cfg=cfg)
+        got = sd.generate(params, ids, None, lat, jnp.float32(7.5),
+                          num_steps=2, cfg=cfg)
+        # fp32 TINY on CPU: identical math modulo batch-2 vs batch-1
+        # reduction grouping; allow +-1 uint8 quantization step.
+        diff = np.abs(np.asarray(want, np.int32) - np.asarray(got, np.int32))
+        assert diff.max() <= 1, diff.max()
+
+    def test_guidance_free_rejects_cache_intervals(self):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        with pytest.raises(ValueError):
+            sd.generate(params, ids, None, lat, jnp.float32(1.0),
+                        num_steps=2, cfg=cfg, uncond_interval=2)
+
     def test_guidance_changes_output_without_recompile(self):
         cfg = sd.TINY
         params = sd.init(jax.random.key(0), cfg)

@@ -62,14 +62,16 @@ def test_sigma_ladder_monotone():
 
 
 class TestPipelineIntegration:
-    @pytest.mark.parametrize("method", ["euler", "dpmpp_2m"])
+    @pytest.mark.parametrize("method", ["euler", "dpmpp_2m", "heun",
+                                        "dpmpp_2s_ancestral"])
     def test_generate_with_sampler(self, method):
         cfg = sd.TINY
         params = sd.init(jax.random.key(0), cfg)
         ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
         lat = sd.initial_latent(jax.random.key(1), 1, cfg)
         img = sd.generate(params, ids, ids, lat, jnp.float32(7.5),
-                          num_steps=3, cfg=cfg, method=method)
+                          num_steps=3, cfg=cfg, method=method,
+                          key=jax.random.key(3))
         assert img.shape == (1, 32, 32, 3) and img.dtype == jnp.uint8
 
     def test_samplers_differ(self):

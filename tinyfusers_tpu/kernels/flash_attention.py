@@ -200,6 +200,59 @@ def _kernel_t(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l).T.astype(o_ref.dtype)
 
 
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *,
+                   sk_real: int, block_k: int, block_q: int,
+                   heads: int, d: int):
+    """Heads-packed kernel: blocks are (1, block, H*d) — the model's
+    native channel-packed activation layout, so NO (B,S,H,d)<->(BH,S,d)
+    relayout copy is ever materialized in HBM around the kernel (that
+    copy measured ~1.2 ms/UNet-forward in the round-2 device trace, and
+    a packed-vs-transposed A/B of a whole attention block measured
+    4.06 ms vs 4.41 ms at SD1.5 64x64 geometry).
+
+    Per-head q/k/v tiles are static lane slices of the packed block
+    (in-VMEM relayouts, far cheaper than HBM copies). Mosaic cannot
+    lower per-head blocked DMAs ((1, bq, 1, d) blocks violate tile
+    alignment; rank-changing slice stores are "unsupported shape cast"),
+    which is why the head axis rides the lane dimension instead.
+
+    Single k block only (nk==1): the wrapper guarantees the whole
+    (padded) key sequence fits one block — SD/SDXL self- and
+    cross-attention geometries all do. Multi-k would need lane-sliced
+    read-modify-write of running stats per head per k step, which
+    measured 2x slower than the flattened-grid kernel; callers with
+    nk>1 use layout='bhsd'.
+    """
+    j = pl.program_id(2)
+    del j  # grid is (B, nq, 1)
+    pad_cols = block_k != sk_real
+    qf = q_ref[0]  # (block_q, H*d), prescaled by scale*log2(e)
+    kf = k_ref[0]  # (block_k, H*d)
+    vf = v_ref[0]
+
+    outs = []
+    for hh in range(heads):
+        q = qf[:, hh * d:(hh + 1) * d]
+        k = kf[:, hh * d:(hh + 1) * d]
+        v = vf[:, hh * d:(hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if pad_cols:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < sk_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if pad_cols:
+            l = jnp.where(l == 0.0, 1.0, l)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((o / l).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % mult
@@ -230,10 +283,24 @@ def _default_variant(sq: int, sk: int, d: int) -> str:
     return "row"
 
 
+def packed_ok(sq: int, sk: int, channels: int, heads: int,
+              itemsize: int = 2) -> bool:
+    """Whether the heads-packed single-k-block kernel applies: the whole
+    padded key sequence (x2 for k and v, x2 for Pallas double-buffering)
+    must fit comfortably in the ~16 MB of VMEM."""
+    if channels % heads:
+        return False
+    sk_pad = -(-max(sk, 128) // 128) * 128
+    # 6 MB/tensor: k+v = 12 MB + q/out blocks + fp32 logits still fit
+    # (SDXL's (2, 4096, 640) bf16 case measured working and faster).
+    return sk_pad * channels * itemsize <= 6 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "causal", "block_q", "block_k", "interpret", "variant"
+        "scale", "causal", "block_q", "block_k", "interpret", "variant",
+        "layout", "heads",
     ),
 )
 def flash_attention(
@@ -248,16 +315,61 @@ def flash_attention(
     block_k: Optional[int] = None,
     interpret: bool = False,
     variant: Optional[str] = None,
+    layout: str = "bhsd",
+    heads: Optional[int] = None,
 ) -> jax.Array:
     """softmax(scale * q @ k^T [+ causal]) @ v, blockwise.
 
-    q (..., Sq, D), k/v (..., Sk, D). Explicit ``mask`` arrays are not
-    supported here (use ops.sdpa_xla); ``causal=True`` covers the
-    causal-mask case without materializing one. block_q/block_k default
-    to shape-tuned values (_default_blocks).
+    layout='bhsd' (default): q (..., Sq, D), k/v (..., Sk, D) — lead axes
+    flattened into the grid. layout='packed': q (B, Sq, H*d), k/v
+    (B, Sk, H*d) with ``heads=H`` — the models' native channel-packed
+    activations go straight in and out (no head-transpose relayouts);
+    requires packed_ok() geometry (whole key sequence in one k block).
+
+    Explicit ``mask`` arrays are not supported here (use ops.sdpa_xla);
+    ``causal=True`` covers the causal-mask case without materializing
+    one. block_q/block_k default to shape-tuned values (_default_blocks).
     """
     if mask is not None:
         raise ValueError("flash_attention: use causal=, not explicit masks")
+    if layout == "packed":
+        if q.ndim != 3 or heads is None:
+            raise ValueError(
+                f"layout='packed' needs (B,S,H*d) + heads=, got {q.shape}")
+        if causal:
+            raise ValueError("layout='packed' does not support causal")
+        b, sq, c = q.shape
+        sk = k.shape[1]
+        d = c // heads
+        if not packed_ok(sq, sk, c, heads, jnp.dtype(q.dtype).itemsize):
+            raise ValueError(
+                f"packed kernel needs the key sequence in one VMEM block; "
+                f"sk={sk} c={c} too large — use layout='bhsd'")
+        if scale is None:
+            scale = 1.0 / (d ** 0.5)
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        bq = min(block_q or 256, max(8, sq))
+        bk = -(-max(sk, 128) // 128) * 128  # whole padded key seq
+        q3 = _pad_to(qs, 1, bq)
+        k3 = _pad_to(k, 1, bk)
+        v3 = _pad_to(v, 1, bk)
+        nq = q3.shape[1] // bq
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_packed, sk_real=sk, block_k=bk, block_q=bq,
+                heads=heads, d=d),
+            grid=(b, nq, 1),
+            in_specs=[
+                pl.BlockSpec((1, bq, c), lambda g, i, j: (g, i, 0)),
+                pl.BlockSpec((1, bk, c), lambda g, i, j: (g, j, 0)),
+                pl.BlockSpec((1, bk, c), lambda g, i, j: (g, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, c), lambda g, i, j: (g, i, 0)),
+            out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+            interpret=interpret,
+        )(q3, k3, v3)
+        return out[:, :sq]
+
     *lead, sq, d = q.shape
     sk = k.shape[-2]
     if scale is None:
@@ -275,7 +387,6 @@ def flash_attention(
     q3 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(-1, sq, d)
     k3 = k.reshape(-1, sk, d)
     v3 = v.reshape(-1, sk, d)
-    bh = q3.shape[0]
 
     bq = min(block_q, max(8, sq))
     bk = min(block_k, max(128, sk))
@@ -305,13 +416,13 @@ def flash_attention(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(bh, nq, nk),
+        grid=(q3.shape[0], nq, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         scratch_shapes=scr,
         interpret=interpret,

@@ -135,7 +135,7 @@ def _modulate(x, shift, scale):
 
 
 def split_fused_qkv(qkv: jax.Array, num_heads: int):
-    """(B, T, 3*D) fused projection -> q, k, v each (B, H, T, hd).
+    """(B, T, 3*D) fused projection -> q, k, v each (B, T, H, hd) (bshd).
 
     The fused weight's output axis is laid out HEAD-INTERLEAVED —
     ``[h0:(q,k,v) | h1:(q,k,v) | ...]`` — not torch's ``[q | k | v]``
@@ -146,11 +146,16 @@ def split_fused_qkv(qkv: jax.Array, num_heads: int):
     represents without any resharding), so TP attention runs entirely
     local and the only collective is the all-reduce after the
     row-parallel output projection (parallel/sharding.py).
+
+    The heads axis is left IN PLACE (bshd) — slicing the interleaved
+    q/k/v out of axis 3 costs a strided read XLA fuses into the consumer,
+    and downstream attention (ops.sdpa layout='bshd') never materializes
+    a (B,H,T,hd) relayout.
     """
     b, t, d3 = qkv.shape
     hd = d3 // (3 * num_heads)
-    qkv = qkv.reshape(b, t, num_heads, 3, hd).transpose(0, 2, 3, 1, 4)
-    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    qkv = qkv.reshape(b, t, num_heads, 3, hd)
+    return qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
 
 
 def _block(p, x, c, cfg: DiTConfig):
@@ -163,7 +168,9 @@ def _block(p, x, c, cfg: DiTConfig):
     h = _modulate(h, sh1, sc1)
     qkv = ops.linear(h, p["attn"]["qkv"]["weight"], p["attn"]["qkv"]["bias"])
     q, k, v = split_fused_qkv(qkv, cfg.num_heads)
-    a = ops.sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+    a = ops.sdpa_packed(  # (B,T,D) channel-packed in and out
+        q.reshape(b, t, d), k.reshape(b, t, d), v.reshape(b, t, d),
+        heads=cfg.num_heads)
     a = ops.linear(a, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"])
     x = x + g1[:, None, :] * a
 

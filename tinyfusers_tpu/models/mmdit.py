@@ -142,7 +142,7 @@ def _rms_qk(x, weight, eps=1e-6):
 
 def _stream_pre(p, x, c, cfg: MMDiTConfig):
     """Pre-attention: modulated LN + fused qkv (head-interleaved layout,
-    see models/dit.py split_fused_qkv). Returns (q,k,v (B,H,T,hd), gates)."""
+    see models/dit.py split_fused_qkv). Returns (q,k,v (B,T,H,hd), gates)."""
     mod = ops.linear(ops.silu(c), p["mod"]["weight"], p["mod"]["bias"])
     sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)
     h = _modulate(ops.layer_norm(x), sh1, sc1)
@@ -157,8 +157,8 @@ def _stream_pre(p, x, c, cfg: MMDiTConfig):
 
 
 def _unheads(x):
-    b, h, t, hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+    b, t, h, hd = x.shape  # bshd: heads already in place, reshape is free
+    return x.reshape(b, t, h * hd)
 
 
 def _stream_post(p, x, attn_out, gates):
@@ -177,11 +177,12 @@ def _block(p, img, txt, c, cfg: MMDiTConfig):
     qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg)
     ti = img.shape[1]
     # Joint attention over [img ‖ txt] tokens (concat on the token axis —
-    # q/k/v are already (B, H, T, hd)).
-    q = jnp.concatenate([qi, qt], axis=2)
-    k = jnp.concatenate([ki, kt], axis=2)
-    v = jnp.concatenate([vi, vt], axis=2)
-    o = _unheads(ops.sdpa(q, k, v, impl=cfg.attn_impl))
+    # q/k/v are (B, T, H, hd), heads in place; flatten to channel-packed
+    # (B, T, H*hd) for sdpa_packed).
+    q = _unheads(jnp.concatenate([qi, qt], axis=1))
+    k = _unheads(jnp.concatenate([ki, kt], axis=1))
+    v = _unheads(jnp.concatenate([vi, vt], axis=1))
+    o = ops.sdpa_packed(q, k, v, heads=cfg.num_heads, impl=cfg.attn_impl)
     img = _stream_post(p["img"], img, o[:, :ti], gi)
     txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
     return img, txt

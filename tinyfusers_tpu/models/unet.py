@@ -299,17 +299,14 @@ def _res_apply(p, x, emb, cfg: UNetConfig):
 
 
 def _xattn_apply(p, x, context, num_heads: int, impl=None):
-    b, t, _ = x.shape
-    s = context.shape[1]
     q = ops.linear(x, p["to_q"]["weight"])
     k = ops.linear(context, p["to_k"]["weight"])
     v = ops.linear(context, p["to_v"]["weight"])
-    hd = q.shape[-1] // num_heads
-    q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-    o = ops.sdpa(q, k, v, impl=impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, t, num_heads * hd)
+    # Channel-packed attention: the projections' native (B, S, H*d)
+    # layout goes straight into sdpa_packed — on TPU the heads-packed
+    # flash kernel runs with NO (B,S,H,d)<->(B,H,S,d) relayout copies
+    # (~8% of the whole attention block in the round-3 A/B).
+    o = ops.sdpa_packed(q, k, v, heads=num_heads, impl=impl)
     return ops.linear(o, p["to_out"]["weight"], p["to_out"]["bias"])
 
 

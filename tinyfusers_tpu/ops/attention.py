@@ -56,6 +56,44 @@ def sdpa_xla(
     return out.astype(dtype)
 
 
+def sdpa_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    heads: int,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """SDPA over channel-packed activations: q (B, Sq, H*d), k/v
+    (B, Sk, H*d) -> (B, Sq, H*d). The models' native layout goes
+    straight in and out.
+
+    On TPU with packed-friendly geometry this runs the heads-packed
+    flash kernel — no (B,S,H,d)<->(B,H,S,d) relayout is ever
+    materialized in HBM (measured ~8% of a whole SD attention block).
+    Everything else unpacks to bhsd, dispatches through sdpa(), and
+    packs back (reshapes around a transpose XLA usually fuses).
+    """
+    from ..kernels.flash_attention import packed_ok
+
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    if impl is None:
+        impl = _default_impl(q, None)
+    if impl == "flash" and packed_ok(
+            sq, sk, c, heads, jnp.dtype(q.dtype).itemsize):
+        from ..kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale, layout="packed",
+                               heads=heads)
+    unpack = lambda x, s: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
+    o = sdpa(unpack(q, sq), unpack(k, sk), unpack(v, sk),
+             scale=scale, impl=impl)
+    return o.transpose(0, 2, 1, 3).reshape(b, sq, c)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -65,8 +103,8 @@ def sdpa(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jax.Array:
-    """Dispatching SDPA. impl in {None, 'xla', 'flash',
-    'ring[:seq_axis[,batch_axis]]'}.
+    """Dispatching SDPA (bhsd layout: q (..., Sq, D), k/v (..., Sk, D)).
+    impl in {None, 'xla', 'flash', 'ring[:seq_axis[,batch_axis]]'}.
 
     'ring' is the sequence-parallel path (parallel/ring_attention.py):
     the token axis is sharded over the named mesh axis and k/v shards

@@ -13,8 +13,10 @@ All samplers consume ``model_fn(x_ddpm, t_float) -> eps`` (the UNet + CFG
 closure, called with DDPM-space input so the network sees what it was
 trained on) and run entirely inside one jitted lax.scan.
 
-Implemented: euler, euler_ancestral, dpmpp_2m (2nd-order multistep),
-plus ddim re-expressed in this interface for uniformity.
+Implemented: euler, euler_ancestral, heun (2nd-order, 2 NFE/step),
+dpmpp_2m (2nd-order multistep), dpmpp_2s_ancestral (2nd-order
+single-step ancestral, 2 NFE/step), plus ddim re-expressed in this
+interface for uniformity.
 """
 from __future__ import annotations
 
@@ -25,7 +27,10 @@ import jax.numpy as jnp
 
 from . import ddim as ddim_mod
 
-SAMPLERS = ("ddim", "euler", "euler_ancestral", "dpmpp_2m")
+SAMPLERS = (
+    "ddim", "euler", "euler_ancestral", "heun", "dpmpp_2m",
+    "dpmpp_2s_ancestral",
+)
 
 
 def sigma_ladder(num_steps: int):
@@ -94,6 +99,68 @@ def sample(
             X = X + eps * (sigma_down - sig)
             k, sub = jax.random.split(k)
             X = X + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
+            return (X, k), None
+
+        (X, _), _ = jax.lax.scan(body, (X, key), jnp.arange(num_steps))
+        return X.astype(latent.dtype)
+
+    if method == "heun":
+        # 2nd-order: Euler predictor to sig_next, then trapezoidal
+        # correction with the slope there. 2 model calls per step (the
+        # terminal sigma_next==0 step stays plain Euler — lax.cond keeps
+        # both in one compiled scan body without a dynamic batch).
+        def body(carry, i):
+            X = carry
+            sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
+                           t.astype(jnp.float32)).astype(jnp.float32)
+            dt = sig_next - sig
+            X_pred = X + eps * dt
+            # slope at sig_next, evaluated with the *next* ladder
+            # timestep (last step: t again; its result is discarded).
+            t_next = ts[jnp.minimum(i + 1, num_steps - 1)]
+            eps2 = model_fn(
+                _to_model_input(X_pred, sig_next).astype(latent.dtype),
+                t_next.astype(jnp.float32)).astype(jnp.float32)
+            X_heun = X + 0.5 * (eps + eps2) * dt
+            X = jnp.where(sig_next > 0.0, X_heun, X_pred)
+            return X, None
+
+        X, _ = jax.lax.scan(body, X, jnp.arange(num_steps))
+        return X.astype(latent.dtype)
+
+    if method == "dpmpp_2s_ancestral":
+        assert key is not None, "dpmpp_2s_ancestral needs a PRNG key"
+
+        def body(carry, i):
+            X, k = carry
+            sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
+            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
+                           t.astype(jnp.float32)).astype(jnp.float32)
+            den = _denoised(X, sig, eps)
+            var_up = sig_next**2 * (sig**2 - sig_next**2) / jnp.maximum(
+                sig**2, 1e-12)
+            sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+            sigma_down = jnp.sqrt(
+                jnp.maximum(sig_next**2 - sigma_up**2, 0.0))
+            # DPM-Solver++(2S): midpoint in log-sigma time toward
+            # sigma_down, second eval there, exponential-integrator update.
+            lt = -jnp.log(jnp.maximum(sig, 1e-10))
+            lt_down = -jnp.log(jnp.maximum(sigma_down, 1e-10))
+            h = lt_down - lt
+            s_mid = jnp.exp(-(lt + 0.5 * h))
+            X_mid = (s_mid / jnp.maximum(sig, 1e-12)) * X \
+                - jnp.expm1(-0.5 * h) * den
+            eps_mid = model_fn(
+                _to_model_input(X_mid, s_mid).astype(latent.dtype),
+                t.astype(jnp.float32)).astype(jnp.float32)
+            den_mid = _denoised(X_mid, s_mid, eps_mid)
+            X_det = (sigma_down / jnp.maximum(sig, 1e-12)) * X \
+                - jnp.expm1(-h) * den_mid
+            # terminal step (sigma_down == 0): fall back to Euler to den
+            X_det = jnp.where(sigma_down > 0.0, X_det, den)
+            k, sub = jax.random.split(k)
+            X = X_det + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
             return (X, k), None
 
         (X, _), _ = jax.lax.scan(body, (X, key), jnp.arange(num_steps))

@@ -190,6 +190,13 @@ def sample_latents(
     guidance = jnp.asarray(guidance, jnp.float32)
     b = latent.shape[0]
 
+    if uncond_context is None and (deepcache_interval > 1
+                                   or uncond_interval > 1):
+        raise ValueError(
+            "guidance-free sampling (uncond_context=None) does not compose "
+            "with cached-CFG/DeepCache intervals — there is no uncond "
+            "branch to cache")
+
     if deepcache_interval > 1:
         if method != "ddim":
             raise ValueError("deepcache_interval>1 supports method='ddim'")
@@ -209,6 +216,18 @@ def sample_latents(
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
         )
+
+    if uncond_context is None:
+        # Guidance-free path (SD-Turbo / LCM-style distilled checkpoints,
+        # or guidance==1 sampling): no uncond branch at all, the UNet runs
+        # at batch B instead of 2B — ~2x the step throughput of CFG.
+        def model_fn(lat, t):
+            tb = jnp.broadcast_to(t, (b,))
+            out = unet.apply(unet_params, lat, tb, context, cfg.unet)
+            return model_out_to_eps(out, lat, t, cfg)
+
+        return samplers.sample(model_fn, latent, num_steps, method=method,
+                               key=key)
 
     if uncond_interval <= 1:
         context2 = jnp.concatenate([uncond_context, context], axis=0)
@@ -379,10 +398,12 @@ def generate(
     decode, postprocess. method selects the sampler (pipeline.samplers);
     uncond_interval>1 enables cached CFG (see sample_latents);
     prompt_weights (B, T) applies per-token emphasis
-    (tokenizer/prompt_weights).
+    (tokenizer/prompt_weights). uncond_ids=None disables CFG entirely
+    (SD-Turbo/LCM-style guidance-free sampling: single-batch UNet,
+    ~2x step throughput; guidance is ignored).
     """
     ctx = encode_text(params, input_ids, cfg)
-    uctx = encode_text(params, uncond_ids, cfg)
+    uctx = None if uncond_ids is None else encode_text(params, uncond_ids, cfg)
     if prompt_weights is not None:
         ctx = apply_prompt_weights(ctx, prompt_weights)
     latent = sample_latents(
