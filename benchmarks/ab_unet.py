@@ -48,7 +48,7 @@ def main():
             return y.astype(c.dtype), ()
 
         out, _ = jax.lax.scan(body, x, None, length=args.n)
-        return out
+        return jnp.sum(out, dtype=jnp.float32)  # scalar readback (tunnel ~30 MB/s)
 
     f = jax.jit(chain)
     np.asarray(f(params, lat)).ravel()[:1]  # compile + upload

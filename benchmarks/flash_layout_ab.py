@@ -5,7 +5,8 @@ Compares, at the SD1.5/SDXL self-attention geometries:
            models did through round 2 (the ~1.2 ms/fwd relayout cost).
   bshd   : heads left in place, BlockSpec index maps gather per-head
            tiles — what the models do now.
-and the row vs transposed-logits kernel variants under each.
+  packed : heads-packed (B,S,H*d) kernel — the models' production path.
+Plus the row vs transposed-logits kernel variants for bhsd.
 
 Chained-scan timing (per benchmarks/flash_sweep.py): single-call timing
 is swamped by the axon tunnel's ~5-8 ms dispatch jitter.
@@ -35,7 +36,7 @@ def chained(attn, iters):
             return y.astype(q.dtype), None
 
         out, _ = jax.lax.scan(body, q, None, length=iters)
-        return out
+        return jnp.sum(out, dtype=jnp.float32)  # scalar readback (tunnel ~30 MB/s)
 
     return jax.jit(run)
 
@@ -74,10 +75,17 @@ def main():
                 o = flash_attention(qt, kt, vt, variant=vr)
                 return o.transpose(0, 2, 1, 3)
 
-            def bshd(q, k, v, vr=variant):
-                return flash_attention(q, k, v, variant=vr, layout="bshd")
+            def packed(q, k, v, H=h):
+                bb, ss, hh_, dd = q.shape
+                o = flash_attention(
+                    q.reshape(bb, ss, hh_ * dd), k.reshape(bb, ss, hh_ * dd),
+                    v.reshape(bb, ss, hh_ * dd), layout="packed", heads=H)
+                return o.reshape(bb, ss, hh_, dd)
 
-            for label, fn in (("bhsd+T", bhsd_t), ("bshd  ", bshd)):
+            pairs = (("bhsd+T", bhsd_t),)
+            if variant == "row":  # packed kernel has one (row) layout
+                pairs += (("packed", packed),)
+            for label, fn in pairs:
                 try:
                     t = per_call(fn, q, k, v)
                     print(f"    {variant:3s} {label}  {t*1e3:7.3f} ms",

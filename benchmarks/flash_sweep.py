@@ -36,7 +36,9 @@ def chained(attn, iters):
             return y.astype(q.dtype), None
 
         out, _ = jax.lax.scan(body, q, None, length=iters)
-        return out
+        # scalar readback: the axon tunnel moves ~30 MB/s, so returning the
+        # full array would add ~35 ms per MB of output to every timing
+        return jnp.sum(out, dtype=jnp.float32)
 
     return jax.jit(run)
 

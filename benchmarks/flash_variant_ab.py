@@ -30,7 +30,7 @@ def chained(attn, iters):
             return y.astype(q.dtype), None
 
         out, _ = jax.lax.scan(body, q, None, length=iters)
-        return out
+        return jnp.sum(out, dtype=jnp.float32)  # scalar readback (tunnel ~30 MB/s)
 
     return jax.jit(run)
 

@@ -55,7 +55,9 @@ def chain(fn, x, reps=3):
             return carry + jnp.mean(y).astype(carry.dtype), None
 
         out, _ = jax.lax.scan(body, x0, None, length=ITERS)
-        return out
+        # scalar readback: the axon tunnel moves ~30 MB/s, so returning
+        # the full activation would add ~35 ms per MB to every timing
+        return jnp.sum(out, dtype=jnp.float32)
 
     j = jax.jit(run)
     np.asarray(j(x)).ravel()[:1]

@@ -48,6 +48,15 @@ def main():
     from tinyfusers_tpu.pipeline.samplers import SAMPLERS
 
     p.add_argument("--sampler", choices=list(SAMPLERS), default="ddim")
+    p.add_argument("--control-ckpt", default=None,
+                   help="ControlNet checkpoint (control_model.* layout)")
+    p.add_argument("--control-image", default=None,
+                   help="hint image (edges/depth/pose), resized to 8x the "
+                        "latent grid")
+    p.add_argument("--control-scale", type=float, default=1.0)
+    p.add_argument("--no-cfg", action="store_true",
+                   help="guidance-free sampling (SD-Turbo/LCM-style "
+                        "distilled checkpoints; single-batch UNet)")
     p.add_argument("--timing", action="store_true")
     args = p.parse_args()
 
@@ -113,9 +122,27 @@ def main():
         ids = jnp.array([wid] * args.batch, jnp.int32)
         weights = (jnp.array([w] * args.batch, jnp.float32)
                    if any(x != 1.0 for x in w) else None)
-        uids = make_ids(args.negative_prompt, cfg.clip.max_length)
+        uids = (None if args.no_cfg
+                else make_ids(args.negative_prompt, cfg.clip.max_length))
         skey = (jax.random.key(args.seed + 1)
                 if "ancestral" in args.sampler else None)
+        control = None
+        if args.control_ckpt:
+            import numpy as _np
+            from tinyfusers_tpu.io import checkpoints
+            from PIL import Image
+
+            cn_params = checkpoints.load_controlnet_params(
+                args.control_ckpt, cfg.unet, dtype=dtype)
+            hh, ww = latent.shape[1] * 8, latent.shape[2] * 8
+            if args.control_image:
+                im = Image.open(args.control_image).convert("RGB")
+                im = im.resize((ww, hh), Image.LANCZOS)
+                hint = jnp.asarray(_np.asarray(im), jnp.float32)[None] / 255.0
+            else:
+                print("no --control-image: using a zero hint (smoke run)")
+                hint = jnp.zeros((1, hh, ww, 3), jnp.float32)
+            control = (cn_params, hint, args.control_scale)
         gen = lambda: sd.generate(params, ids, uids, latent,
                                   jnp.float32(args.guidance),
                                   num_steps=args.steps, cfg=cfg,
@@ -123,7 +150,7 @@ def main():
                                   uncond_interval=args.uncond_interval,
                                   deepcache_interval=args.deepcache_interval,
                                   deepcache_split=args.deepcache_split,
-                                  prompt_weights=weights)
+                                  prompt_weights=weights, control=control)
 
     import numpy as _np
 

@@ -204,6 +204,63 @@ class TestShardedTrain:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=2e-5)
 
+    def test_fsdp_train_step_matches_dense(self):
+        """ZeRO-style FSDP: params + optimizer state sharded over the
+        data axis (parallel.shard_fsdp). GSPMD inserts the weight
+        all-gathers; one step must match the dense step and the big
+        leaves must actually be partitioned across devices."""
+        from tinyfusers_tpu import parallel
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params, apply_fn = tiny_unet()
+        opt = optax.sgd(1e-2)
+        step = train.make_train_step(apply_fn, opt, donate=False)
+        x0 = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.key(2), (4, 7, 16))
+        rng = jax.random.key(3)
+
+        dense_state = train.TrainState.create(params, opt)
+        dense_state, dense_m = step(dense_state, (x0, ctx), rng)
+
+        mesh = parallel.make_mesh(model=2)  # data=4 x model=2
+        state = train.TrainState.create(params, opt)
+        # min_size=1: the tiny test UNet has no >=64k leaves, but the
+        # sharding mechanics are identical.
+        state = parallel.shard_fsdp(state, mesh, min_size=1)
+        data_sh = NamedSharding(mesh, P(parallel.DATA_AXIS))
+        batch = (jax.device_put(x0, data_sh), jax.device_put(ctx, data_sh))
+        with jax.set_mesh(mesh):
+            state, m = step(state, batch, rng)
+        assert np.isclose(float(m["loss"]), float(dense_m["loss"]),
+                          rtol=2e-4)
+        # parity on every param leaf
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(dense_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
+        # at least one conv kernel must be data-axis sharded (TP rules
+        # alone would leave convs replicated)
+        specs = jax.tree.leaves(parallel.fsdp_spec_tree(
+            state.params, mesh, min_size=1))
+        assert any(parallel.DATA_AXIS in jax.tree.leaves(
+            tuple(s for s in spec if s)) for spec in specs
+            if spec is not None), specs
+
+    def test_fsdp_spec_consistent_between_params_and_opt_state(self):
+        """optax mu/nu mirror the param tree; trailing path names match,
+        so each moment leaf gets exactly its param's spec."""
+        from tinyfusers_tpu import parallel
+
+        params, _ = tiny_unet()
+        opt = optax.adam(1e-3)
+        state = train.TrainState.create(params, opt)
+        mesh = parallel.make_mesh(model=2)
+        specs = parallel.fsdp_spec_tree(state, mesh, min_size=1)
+        pspecs = jax.tree.leaves(specs.params)
+        mu_specs = jax.tree.leaves(specs.opt_state[0].mu)
+        nu_specs = jax.tree.leaves(specs.opt_state[0].nu)
+        assert pspecs == mu_specs == nu_specs
+
 
 class TestCheckpoint:
     def test_round_trip(self, tmp_path):

@@ -61,6 +61,24 @@ def load_sd_params(path, cfg=None, *, dtype=jnp.bfloat16, shardings=None):
     return jax.tree.map(put, params, shardings)
 
 
+def load_controlnet_params(path, cfg=None, *, dtype=jnp.bfloat16):
+    """Load a ControlNet checkpoint (lllyasviel `control_model.*` layout,
+    .ckpt/.pth torch-zip or .safetensors) into the models/controlnet.py
+    param tree. Pair with sd.generate(..., control=(params, hint, s))."""
+    from ..models import unet as unet_model
+
+    cfg = cfg or unet_model.SD15_CONFIG
+    state = load_state_dict(path)
+    params = state_map.controlnet_from_state(state, cfg)
+
+    def put(x):
+        arr = np.asarray(x)
+        return jnp.asarray(arr, dtype=dtype if np.issubdtype(
+            arr.dtype, np.floating) else None)
+
+    return jax.tree.map(put, params)
+
+
 def save_sd_checkpoint(params, path, cfg=None) -> None:
     """Export a param tree to a .safetensors SD-format checkpoint — the
     save side the reference stubbed out (storage/state.py:25-26)."""

@@ -952,3 +952,82 @@ def t5_to_state(params, cfg, prefix: str = T5_PREFIX):
     out[f"{prefix}.encoder.final_layer_norm.weight"] = np.asarray(
         params["final_norm"]["weight"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (lllyasviel layout: `control_model.*`, cldm/cldm.py)
+# ---------------------------------------------------------------------------
+
+CONTROLNET_PREFIX = "control_model"
+
+
+def controlnet_from_state(state: Dict[str, np.ndarray], cfg=None,
+                          prefix: str = CONTROLNET_PREFIX):
+    """Map a ControlNet checkpoint (torch `control_model.*` keys) to the
+    models/controlnet.py param tree. Same encoder-block scheme as
+    unet_from_state; hint convs live at even indices of
+    input_hint_block (SiLU between), zero convs under zero_convs.{i}.0
+    and middle_block_out.0."""
+    from ..models import controlnet as cn_model
+
+    cfg = cfg or unet_model.SD15_CONFIG
+
+    def get(k: str) -> np.ndarray:
+        return state[f"{prefix}.{k}"]
+
+    inp, mid, _ = unet_model.build_plan(cfg)
+    n_hint = len(cn_model._HINT_LADDER) + 1
+    skip_chs = cn_model._skip_channels(cfg)
+    return {
+        "time_embed": {
+            "fc1": _linear(get, "time_embed.0"),
+            "fc2": _linear(get, "time_embed.2"),
+        },
+        "input": [
+            _unet_block(get, f"input_blocks.{i}", b, cfg, "in")
+            for i, b in enumerate(inp)
+        ],
+        "middle": _unet_block(get, "middle_block", mid, cfg, "mid"),
+        "input_hint": [
+            _conv(get, f"input_hint_block.{2 * i}") for i in range(n_hint)
+        ],
+        "zero_convs": [
+            _conv(get, f"zero_convs.{i}.0") for i in range(len(skip_chs))
+        ],
+        "middle_out": _conv(get, "middle_block_out.0"),
+    }
+
+
+def controlnet_to_state(params, cfg=None,
+                        prefix: str = CONTROLNET_PREFIX) -> Dict[str, np.ndarray]:
+    """Inverse of controlnet_from_state (save-side / fixture builder)."""
+    cfg = cfg or unet_model.SD15_CONFIG
+    inp, mid, _ = unet_model.build_plan(cfg)
+    out: Dict[str, np.ndarray] = {}
+    _put_linear(out, f"{prefix}.time_embed.0", params["time_embed"]["fc1"])
+    _put_linear(out, f"{prefix}.time_embed.2", params["time_embed"]["fc2"])
+
+    def put_block(bprefix, block, bparams):
+        for j, (spec, p) in enumerate(zip(block, bparams)):
+            sub = f"{bprefix}.{j}"
+            if spec == "conv_in":
+                _put_conv(out, sub, p)
+            elif isinstance(spec, unet_model.ResSpec):
+                _put_unet_res(out, sub, p)
+            elif isinstance(spec, unet_model.AttnSpec):
+                _put_unet_st(out, sub, p)
+            elif isinstance(spec, unet_model.SampleSpec):
+                key = f"{sub}.op" if spec.mode == "down" else f"{sub}.conv"
+                _put_conv(out, key, p["conv"])
+            else:  # pragma: no cover
+                raise ValueError(spec)
+
+    for i, b in enumerate(inp):
+        put_block(f"{prefix}.input_blocks.{i}", b, params["input"][i])
+    put_block(f"{prefix}.middle_block", mid, params["middle"])
+    for i, p in enumerate(params["input_hint"]):
+        _put_conv(out, f"{prefix}.input_hint_block.{2 * i}", p)
+    for i, p in enumerate(params["zero_convs"]):
+        _put_conv(out, f"{prefix}.zero_convs.{i}.0", p)
+    _put_conv(out, f"{prefix}.middle_block_out.0", params["middle_out"])
+    return out

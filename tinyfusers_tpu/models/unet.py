@@ -373,12 +373,18 @@ def apply(
     adm_cond: Optional[jax.Array] = None,
     deepcache: Optional[Tuple[str, int]] = None,
     cache: Optional[jax.Array] = None,
+    control=None,
 ) -> jax.Array:
     """x (B, H, W, C_in) NHWC latents, timesteps (B,) float, context
     (B, S, context_dim) -> noise prediction (B, H, W, C_out).
 
     adm_cond (B, adm_in_channels): SDXL text_time conditioning vector
     (pooled text embedding ‖ sinusoidal size embeddings).
+
+    control: optional (skip_residuals, middle_residual) from
+    models/controlnet.apply — each skip residual is added to its skip
+    tensor as it is popped, the middle residual after the middle block
+    (the original ControlledUnetModel wiring, cldm/cldm.py).
 
     deepcache: DeepCache-style deep-feature reuse (Ma et al. 2023 — the
     deep U-Net features drift slowly across adjacent denoise steps).
@@ -430,6 +436,15 @@ def apply(
             x = _run_block(p, block, x, emb, context, cfg)
             skips.append(x)
         x = _run_block(params["middle"], mid, x, emb, context, cfg)
+        if control is not None:
+            ctrl_skips, ctrl_mid = control
+            if len(ctrl_skips) != len(skips):
+                raise ValueError(
+                    f"control has {len(ctrl_skips)} skip residuals, "
+                    f"UNet plan has {len(skips)} skips")
+            x = x + ctrl_mid.astype(x.dtype)
+            skips = [s + c.astype(s.dtype)
+                     for s, c in zip(skips, ctrl_skips)]
         cache_out = None
         for j, (p, block) in enumerate(zip(params["output"], outp)):
             if mode == "full" and j == len(outp) - m:

@@ -165,8 +165,14 @@ def sample_latents(
     uncond_interval: int = 1,
     deepcache_interval: int = 1,
     deepcache_split: int = 3,
+    control=None,
 ) -> jax.Array:
     """Full sampling as one lax.scan (jit-friendly; num_steps static).
+
+    control: optional (controlnet_params, hint, control_scale) — runs
+    models/controlnet.py every step and feeds its residuals into the
+    UNet (ControlNet spatial conditioning). hint is (B, H, W, 3) in
+    [0, 1] at full image resolution.
 
     method: any of pipeline.samplers.SAMPLERS ("ddim", "euler",
     "euler_ancestral", "dpmpp_2m").
@@ -196,6 +202,23 @@ def sample_latents(
             "guidance-free sampling (uncond_context=None) does not compose "
             "with cached-CFG/DeepCache intervals — there is no uncond "
             "branch to cache")
+    if control is not None and (deepcache_interval > 1 or uncond_interval > 1):
+        raise ValueError(
+            "ControlNet sampling does not compose with cached-CFG/DeepCache "
+            "yet — residuals would go stale with the cached branches")
+
+    def unet_apply(p_, lat_, t_, ctx_):
+        if control is None:
+            return unet.apply(p_, lat_, t_, ctx_, cfg.unet)
+        from ..models import controlnet as cn_model
+
+        cn_params, hint, cscale = control
+        bb = lat_.shape[0]
+        hint_b = jnp.broadcast_to(
+            hint.astype(lat_.dtype), (bb, *hint.shape[1:]))
+        ctrl = cn_model.apply(cn_params, lat_, hint_b, t_, ctx_, cfg.unet,
+                              scale=cscale)
+        return unet.apply(p_, lat_, t_, ctx_, cfg.unet, control=ctrl)
 
     if deepcache_interval > 1:
         if method != "ddim":
@@ -223,7 +246,7 @@ def sample_latents(
         # at batch B instead of 2B — ~2x the step throughput of CFG.
         def model_fn(lat, t):
             tb = jnp.broadcast_to(t, (b,))
-            out = unet.apply(unet_params, lat, tb, context, cfg.unet)
+            out = unet_apply(unet_params, lat, tb, context)
             return model_out_to_eps(out, lat, t, cfg)
 
         return samplers.sample(model_fn, latent, num_steps, method=method,
@@ -235,7 +258,7 @@ def sample_latents(
         def model_fn(lat, t):
             lat2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
-            out = unet.apply(unet_params, lat2, t2, context2, cfg.unet)
+            out = unet_apply(unet_params, lat2, t2, context2)
             o_t = ddim.cfg_combine(out[:b], out[b:], guidance)
             return model_out_to_eps(o_t, lat, t, cfg)
 
@@ -391,6 +414,7 @@ def generate(
     deepcache_interval: int = 1,
     deepcache_split: int = 3,
     prompt_weights=None,
+    control=None,
 ) -> jax.Array:
     """Tokens + initial noise -> uint8 image(s) (B, H, W, 3).
 
@@ -411,7 +435,7 @@ def generate(
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
         key=key, uncond_interval=uncond_interval,
         deepcache_interval=deepcache_interval,
-        deepcache_split=deepcache_split,
+        deepcache_split=deepcache_split, control=control,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
