@@ -54,6 +54,10 @@ def main():
                    help="hint image (edges/depth/pose), resized to 8x the "
                         "latent grid")
     p.add_argument("--control-scale", type=float, default=1.0)
+    p.add_argument("--ti", action="append", default=[],
+                   metavar="WORD=PATH",
+                   help="textual-inversion embedding: placeholder word = "
+                        "embedding file (.pt/.safetensors); repeatable")
     p.add_argument("--no-cfg", action="store_true",
                    help="guidance-free sampling (SD-Turbo/LCM-style "
                         "distilled checkpoints; single-batch UNet)")
@@ -117,8 +121,20 @@ def main():
     else:
         from tinyfusers_tpu.tokenizer import prompt_weights as pw
 
-        wid, w = pw.encode_weighted(tok, args.prompt, cfg.clip.max_length,
-                                    pad_token=pad)
+        if args.ti:
+            from tinyfusers_tpu.io import textual_inversion as ti_mod
+
+            embs = {}
+            for spec in args.ti:
+                word, _, tpath = spec.partition("=")
+                embs[word] = ti_mod.load_embedding(tpath)
+            params["clip"], ti_ids = ti_mod.extend_clip(params["clip"], embs)
+            wid = ti_mod.encode_with_placeholders(
+                tok, args.prompt, ti_ids, cfg.clip.max_length, pad_token=pad)
+            w = [1.0] * len(wid)
+        else:
+            wid, w = pw.encode_weighted(tok, args.prompt,
+                                        cfg.clip.max_length, pad_token=pad)
         ids = jnp.array([wid] * args.batch, jnp.int32)
         weights = (jnp.array([w] * args.batch, jnp.float32)
                    if any(x != 1.0 for x in w) else None)

@@ -348,7 +348,10 @@ def flash_attention(
         if scale is None:
             scale = 1.0 / (d ** 0.5)
         qs = q * jnp.asarray(scale * LOG2E, q.dtype)
-        bq = min(block_q or 256, max(8, sq))
+        # bq sweep (v5e, benchmarks/flash_layout_ab.py): 256 best at
+        # sk=4096 (512+ blows VMEM on the fp32 logits), 512 at sk<=1024.
+        dbq = 512 if sk <= 1024 else 256
+        bq = min(block_q or dbq, max(8, sq))
         bk = -(-max(sk, 128) // 128) * 128  # whole padded key seq
         q3 = _pad_to(qs, 1, bq)
         k3 = _pad_to(k, 1, bk)

@@ -164,10 +164,17 @@ def apply_pooled(
     params, input_ids: jax.Array, cfg: CLIPConfig
 ) -> jax.Array:
     """Pooled text embedding: final-norm hidden state at each sequence's
-    EOT position (highest token id = EOT for CLIP vocab), through
-    text_projection when configured. (B, T) -> (B, projection_dim|dim)."""
+    EOT position, through text_projection when configured.
+    (B, T) -> (B, projection_dim|dim).
+
+    EOT is located by first occurrence of the EOT id (vocab_size-1) —
+    NOT by argmax(ids) as in HF CLIP: textual-inversion placeholder ids
+    extend the embedding table past EOT, which would hijack an argmax.
+    Both conventions agree on ordinary prompts (EOT is the max CLIP id,
+    and SD1.x even pads with it)."""
     x = apply(params, input_ids, cfg)
-    eot = jnp.argmax(input_ids, axis=-1)
+    eot = jnp.argmax((input_ids == cfg.vocab_size - 1).astype(jnp.int32),
+                     axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
     if "text_projection" in params:
         pooled = ops.linear(pooled, params["text_projection"]["weight"])
