@@ -61,14 +61,45 @@ def main():
     pids = {e["pid"]: e["args"].get("name", "")
             for e in data["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    def family(name: str) -> str:
+        """Coarse op-family bucket from the XLA op name."""
+        n = name.split("(")[0]
+        for pat, fam in (
+            ("flash_attention", "flash-attention"),
+            ("convolution", "conv"),
+            ("conv", "conv"),
+            ("dot", "matmul"),
+            ("all-reduce", "collective"),
+            ("copy", "copy/relayout"),
+            ("transpose", "copy/relayout"),
+            ("reduce", "reduce/norm"),
+            ("add_convert", "elementwise"),
+            ("fusion", "fusion(other)"),
+        ):
+            if pat in n:
+                return fam
+        return n.split(".")[0]
+
     agg = collections.Counter()
+    fams = collections.Counter()
     total = 0
     for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e.get("pid"), ""):
-            agg[e["name"]] += e["dur"]
-            total += e["dur"]
-    print(f"device time total: {total/1e3/args.runs:.2f} ms/run")
-    for name, d in agg.most_common(20):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        name = e["name"]
+        if name.startswith("jit_") or name.startswith("jit__"):
+            continue  # whole-module parent span (double-counts children)
+        agg[name] += e["dur"]
+        fams[family(name)] += e["dur"]
+        total += e["dur"]
+    print(f"device time total (leaf ops): {total/1e3/args.runs:.2f} ms/run")
+    print("-- by op family --")
+    for name, d in fams.most_common():
+        print(f"  {d/1e3/args.runs:8.3f} ms/run  {100*d/max(total,1):5.1f}%  {name}")
+    print("-- top leaf ops --")
+    for name, d in agg.most_common(15):
         print(f"  {d/1e3/args.runs:8.3f} ms/run  {name[:80]}")
 
 

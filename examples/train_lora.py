@@ -29,7 +29,8 @@ def main():
     p.add_argument("--preset", choices=["sd15", "tiny"], default="sd15")
     p.add_argument("--ckpt", default=None, help="SD1.x base checkpoint")
     p.add_argument("--data", default=None,
-                   help=".npz with latents (N,h,w,4) + context (N,77,ctx)")
+                   help=".npz with latents (N,h,w,4) + context (N,77,ctx), "
+                        "or a .tfls native shard (train.write_shard)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--rank", type=int, default=8)
@@ -74,7 +75,13 @@ def main():
         base = unet.init(jax.random.key(args.seed), cfg.unet, dtype=dtype)
 
     lat_hw = cfg.height // 8
-    if args.data:
+    ds = None
+    if args.data and str(args.data).endswith(".tfls"):
+        # native shard: mmap + C++ background prefetch (train/data.py
+        # write_shard produces these; native/loader.cpp serves them)
+        ds = train.NativeShardDataset(args.data, batch_size=args.batch,
+                                      seed=args.seed)
+    elif args.data:
         blob = np.load(args.data)
         latents, context = blob["latents"], blob["context"]
     else:
@@ -84,8 +91,9 @@ def main():
             (n, lat_hw, lat_hw, cfg.unet.in_channels), np.float32)
         context = rng.standard_normal(
             (n, cfg.clip.max_length, cfg.unet.context_dim), np.float32)
-    ds = train.LatentDataset(latents, context, batch_size=args.batch,
-                             seed=args.seed)
+    if ds is None:
+        ds = train.LatentDataset(latents, context, batch_size=args.batch,
+                                 seed=args.seed)
 
     loss_cfg = train.LossConfig(objective=args.objective,
                                 snr_gamma=args.snr_gamma)

@@ -309,3 +309,60 @@ class TestData:
         b = train.shard_batch([np.zeros((4, 3), np.float32)], mesh)[0]
         assert b.sharding.spec == jax.sharding.PartitionSpec(
             parallel.DATA_AXIS)
+
+
+class TestNativeLoader:
+    def _shard(self, tmp_path, n=10):
+        lat = np.arange(n * 4, dtype=np.float32).reshape(n, 2, 2, 1)
+        ctx = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+        ids = np.arange(n, dtype=np.int32)
+        path = tmp_path / "data.tfls"
+        train.write_shard(path, lat, ctx, ids)
+        return path, lat, ctx, ids
+
+    def test_unshuffled_matches_source(self, tmp_path):
+        pytest.importorskip("ctypes")
+        from tinyfusers_tpu.native import get_lib
+        if get_lib() is None:
+            pytest.skip("libtfnative unavailable")
+        path, lat, ctx, ids = self._shard(tmp_path)
+        ds = train.NativeShardDataset(path, batch_size=4, shuffle=False)
+        assert len(ds) == 2
+        batches = list(ds.epoch())
+        ds.close()
+        assert len(batches) == 2
+        np.testing.assert_array_equal(batches[0][0], lat[:4])
+        np.testing.assert_array_equal(batches[0][1], ctx[:4])
+        np.testing.assert_array_equal(batches[1][2], ids[4:8])
+
+    def test_shuffled_epochs_cover_and_differ(self, tmp_path):
+        from tinyfusers_tpu.native import get_lib
+        if get_lib() is None:
+            pytest.skip("libtfnative unavailable")
+        path, lat, ctx, ids = self._shard(tmp_path, n=16)
+        ds = train.NativeShardDataset(path, batch_size=8, seed=3)
+        e1 = np.concatenate([b[2] for b in ds.epoch()])
+        e2 = np.concatenate([b[2] for b in ds.epoch()])
+        ds.close()
+        # each epoch is a permutation of all records...
+        assert sorted(e1.tolist()) == list(range(16))
+        assert sorted(e2.tolist()) == list(range(16))
+        # ...and epochs differ (reshuffle)
+        assert not np.array_equal(e1, e2)
+
+    def test_bfloat16_roundtrip(self, tmp_path):
+        from tinyfusers_tpu.native import get_lib
+        if get_lib() is None:
+            pytest.skip("libtfnative unavailable")
+        import ml_dtypes
+
+        lat = np.arange(8, dtype=np.float32).reshape(4, 2).astype(
+            ml_dtypes.bfloat16)
+        path = tmp_path / "bf16.tfls"
+        train.write_shard(path, lat)
+        ds = train.NativeShardDataset(path, batch_size=4, shuffle=False)
+        [(got,)] = list(ds.epoch())[:1]
+        ds.close()
+        assert got.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            got.astype(np.float32), lat.astype(np.float32))

@@ -80,6 +80,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tf_sched_slot_steps_remaining.restype = ctypes.c_int
         lib.tf_sched_slot_steps_remaining.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.tf_sched_destroy.argtypes = [ctypes.c_void_p]
+        # Data-loader API
+        lib.tf_loader_open.restype = ctypes.c_void_p
+        lib.tf_loader_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_ulong,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.tf_loader_num_arrays.restype = ctypes.c_int
+        lib.tf_loader_num_arrays.argtypes = [ctypes.c_void_p]
+        lib.tf_loader_num_records.restype = ctypes.c_long
+        lib.tf_loader_num_records.argtypes = [ctypes.c_void_p]
+        lib.tf_loader_ndim.restype = ctypes.c_int
+        lib.tf_loader_ndim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.tf_loader_dims.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_ulong)]
+        lib.tf_loader_dtype.restype = ctypes.c_int
+        lib.tf_loader_dtype.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.tf_loader_next.restype = ctypes.c_int
+        lib.tf_loader_next.argtypes = [ctypes.c_void_p]
+        lib.tf_loader_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.tf_loader_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _load_failed = True

@@ -11,13 +11,14 @@ from .losses import LossConfig, diffusion_loss, loss_weights, q_sample, \
 from .step import TrainState, default_optimizer, make_train_step
 from .lora import DEFAULT_TARGETS, init_lora, make_lora_train_step, merge
 from .checkpoint import load_train_state, save_train_state
-from .data import LatentDataset, make_global_batch, shard_batch
+from .data import (LatentDataset, NativeShardDataset,
+                   make_global_batch, shard_batch, write_shard)
 
 __all__ = [
     "LossConfig", "diffusion_loss", "loss_weights", "q_sample",
     "sample_timesteps", "TrainState", "default_optimizer",
     "make_train_step", "DEFAULT_TARGETS", "init_lora",
     "make_lora_train_step", "merge", "load_train_state",
-    "save_train_state", "LatentDataset", "make_global_batch",
+    "save_train_state", "LatentDataset", "NativeShardDataset", "write_shard", "make_global_batch",
     "shard_batch",
 ]
