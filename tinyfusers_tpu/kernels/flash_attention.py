@@ -230,7 +230,6 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *,
     kf = k_ref[0]  # (block_k, H*d)
     vf = v_ref[0]
 
-    outs = []
     for hh in range(heads):
         q = qf[:, hh * d:(hh + 1) * d]
         k = kf[:, hh * d:(hh + 1) * d]
@@ -249,8 +248,11 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *,
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        outs.append((o / l).astype(o_ref.dtype))
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+        # Store each head's lanes immediately (2D lane-sliced store) —
+        # accumulating all heads for one final concat kept every head's
+        # fp32 logits alive on the vector stack at once and blew the
+        # 16 MB VMEM scope at SDXL's (bq=512, bk=1024, H=20) geometry.
+        o_ref[0, :, hh * d:(hh + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -267,10 +269,22 @@ def _default_blocks(sq: int, sk: int, d: int) -> tuple:
     """Block sizes tuned on TPU v5e (benchmarks/flash_sweep.py, chained
     device timing; retuned after the exp2/prescale kernel change). The
     big self-attention shapes prefer a full-Sk single k pass (nk=1: no
-    online-softmax corrections or scratch RMW) when VMEM allows."""
+    online-softmax corrections or scratch RMW) when VMEM allows.
+
+    The k block snaps to the PADDED sequence when that still fits one
+    block: a fixed bk=4096 at sk=4173 (MMDiT's joint img+txt sequence)
+    pads keys to 8192 — double the matmul work on garbage columns, which
+    measured as ~63% of an SD3 forward spent in attention (the round-2
+    -> round-3 SD3 regression). bk=4224 makes it one clean block."""
+    skp = -(-max(sk, 128) // 128) * 128  # sk rounded up to the lane tile
     if sk >= 4096:
-        if d <= 96:        # SD1.5 64x64 (16,4096,40) -> 1.72 ms;
-            #                SDXL 32x    (20,4096,64) -> 2.53 ms
+        if d <= 96:
+            # SD1.5 64x64 (16,4096,40) -> 1.72 ms; SDXL 32x (20,4096,64)
+            # -> 2.53 ms; MMDiT joint 4173 -> one 4224 block.
+            # Cap: the fp32 logits block bq*bk*4 must stay a few MB —
+            # beyond ~4.6k keys (e.g. SDXL 1024px VAE at 16k) go multi-k.
+            if skp <= 4608:
+                return 256, skp
             return 256, 4096
         return 128, 4096   # VAE mid:    (1, 4096, 512) -> 0.81 ms
     return 512, 1024       # (16, 1024, 80) -> ~0.62 ms; mid-size default
@@ -289,6 +303,12 @@ def packed_ok(sq: int, sk: int, channels: int, heads: int,
     padded key sequence (x2 for k and v, x2 for Pallas double-buffering)
     must fit comfortably in the ~16 MB of VMEM."""
     if channels % heads:
+        return False
+    if channels * itemsize > 2048:
+        # Empirical Mosaic compile bound: c=1280/H=20 (SDXL 16x level)
+        # OOMs the 16 MB VMEM scope even at bq=256 — the many per-head
+        # lane-slice relayouts of wide blocks need too much scratch. The
+        # classic bhsd kernel is cheap at those (short-sequence) shapes.
         return False
     sk_pad = -(-max(sk, 128) // 128) * 128
     # 6 MB/tensor: k+v = 12 MB + q/out blocks + fp32 logits still fit
@@ -349,8 +369,11 @@ def flash_attention(
             scale = 1.0 / (d ** 0.5)
         qs = q * jnp.asarray(scale * LOG2E, q.dtype)
         # bq sweep (v5e, benchmarks/flash_layout_ab.py): 256 best at
-        # sk=4096 (512+ blows VMEM on the fp32 logits), 512 at sk<=1024.
-        dbq = 512 if sk <= 1024 else 256
+        # sk=4096 (512+ blows VMEM on the fp32 logits), 512 at sk<=1024
+        # — but only for narrow channels: at c=1280 (SDXL 16x, H=20) the
+        # 512-wide q/out blocks + double-buffered kv exceed the 16 MB
+        # VMEM scope (measured compile OOM), so wide-c shapes stay at 256.
+        dbq = 512 if (sk <= 1024 and c <= 640) else 256
         bq = min(block_q or dbq, max(8, sq))
         bk = -(-max(sk, 128) // 128) * 128  # whole padded key seq
         q3 = _pad_to(qs, 1, bq)

@@ -168,9 +168,15 @@ def _block(p, x, c, cfg: DiTConfig):
     h = _modulate(h, sh1, sc1)
     qkv = ops.linear(h, p["attn"]["qkv"]["weight"], p["attn"]["qkv"]["bias"])
     q, k, v = split_fused_qkv(qkv, cfg.num_heads)
-    a = ops.sdpa_packed(  # (B,T,D) channel-packed in and out
-        q.reshape(b, t, d), k.reshape(b, t, d), v.reshape(b, t, d),
-        heads=cfg.num_heads)
+    if ops.packed_beneficial(t, t, d, cfg.num_heads,
+                             jnp.dtype(x.dtype).itemsize):
+        a = ops.sdpa_packed(  # (B,T,D) channel-packed in and out
+            q.reshape(b, t, d), k.reshape(b, t, d), v.reshape(b, t, d),
+            heads=cfg.num_heads)
+    else:
+        a = ops.sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                     v.transpose(0, 2, 1, 3))
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, d)
     a = ops.linear(a, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"])
     x = x + g1[:, None, :] * a
 

@@ -177,12 +177,26 @@ def _block(p, img, txt, c, cfg: MMDiTConfig):
     qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg)
     ti = img.shape[1]
     # Joint attention over [img ‖ txt] tokens (concat on the token axis —
-    # q/k/v are (B, T, H, hd), heads in place; flatten to channel-packed
-    # (B, T, H*hd) for sdpa_packed).
-    q = _unheads(jnp.concatenate([qi, qt], axis=1))
-    k = _unheads(jnp.concatenate([ki, kt], axis=1))
-    v = _unheads(jnp.concatenate([vi, vt], axis=1))
-    o = ops.sdpa_packed(q, k, v, heads=cfg.num_heads, impl=cfg.attn_impl)
+    # q/k/v are (B, T, H, hd), heads in place). Two layouts, decided at
+    # trace time: channel-packed when the heads-packed flash kernel can
+    # take the whole key sequence in VMEM (zero relayouts); classic bhsd
+    # otherwise — SD3's 1536-wide joint sequence exceeds the packed
+    # kernel's VMEM budget, and routing it through the packed fallback
+    # costs extra unpack/repack copies (measured ~25% of an SD3 step).
+    t_all = ti + txt.shape[1]
+    if cfg.attn_impl is None and ops.packed_beneficial(
+            t_all, t_all, cfg.dim, cfg.num_heads,
+            jnp.dtype(img.dtype).itemsize):
+        q = _unheads(jnp.concatenate([qi, qt], axis=1))
+        k = _unheads(jnp.concatenate([ki, kt], axis=1))
+        v = _unheads(jnp.concatenate([vi, vt], axis=1))
+        o = ops.sdpa_packed(q, k, v, heads=cfg.num_heads)
+    else:
+        bhsd = lambda a, b: jnp.concatenate(  # noqa: E731
+            [a, b], axis=1).transpose(0, 2, 1, 3)
+        o = ops.sdpa(bhsd(qi, qt), bhsd(ki, kt), bhsd(vi, vt),
+                     impl=cfg.attn_impl)
+        o = _unheads(o.transpose(0, 2, 1, 3))
     img = _stream_post(p["img"], img, o[:, :ti], gi)
     txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
     return img, txt

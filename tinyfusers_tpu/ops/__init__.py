@@ -1,5 +1,5 @@
 from .activations import gelu_erf, gelu_tanh, geglu, quick_gelu, sigmoid, silu, swish
-from .attention import sdpa, sdpa_packed, sdpa_xla
+from .attention import packed_beneficial, sdpa, sdpa_packed, sdpa_xla
 from .conv import conv2d, upsample_nearest_2x
 from .embedding import embedding
 from .linear import linear
@@ -8,7 +8,7 @@ from .quant import Int4Tensor, QuantizedTensor, is_quantized, quantize, quantize
 
 __all__ = [
     "gelu_erf", "gelu_tanh", "geglu", "quick_gelu", "sigmoid", "silu", "swish",
-    "sdpa", "sdpa_packed", "sdpa_xla",
+    "packed_beneficial", "sdpa", "sdpa_packed", "sdpa_xla",
     "conv2d", "upsample_nearest_2x",
     "embedding",
     "linear",

@@ -56,6 +56,22 @@ def sdpa_xla(
     return out.astype(dtype)
 
 
+def packed_beneficial(sq: int, sk: int, channels: int, heads: int,
+                      itemsize: int = 2) -> bool:
+    """Whether the heads-packed flash path applies (models use this at
+    trace time to pick between channel-packed attention and the classic
+    bhsd layout — when the packed kernel can't run, feeding it packed
+    tensors just adds unpack/repack relayouts)."""
+    from ..kernels.flash_attention import packed_ok
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return on_tpu and sq >= 1024 and packed_ok(sq, sk, channels, heads,
+                                               itemsize)
+
+
 def sdpa_packed(
     q: jax.Array,
     k: jax.Array,
