@@ -73,6 +73,10 @@ def main():
     from tinyfusers_tpu.tokenizer import bpe
 
     is_xl = args.preset in ("sdxl", "tinyxl")
+    if is_xl and (args.ti or args.control_ckpt or args.no_cfg):
+        raise SystemExit(
+            "--ti/--control-ckpt/--no-cfg are SD1.x/2.x-pipeline features; "
+            "not wired into the SDXL CLI path yet")
     if is_xl:
         cfg = sdxl.SDXL_BASE if args.preset == "sdxl" else sdxl.TINY_XL
         pipe = sdxl
@@ -129,9 +133,9 @@ def main():
                 word, _, tpath = spec.partition("=")
                 embs[word] = ti_mod.load_embedding(tpath)
             params["clip"], ti_ids = ti_mod.extend_clip(params["clip"], embs)
-            wid = ti_mod.encode_with_placeholders(
-                tok, args.prompt, ti_ids, cfg.clip.max_length, pad_token=pad)
-            w = [1.0] * len(wid)
+            wid, w = pw.encode_weighted(
+                tok, args.prompt, cfg.clip.max_length, pad_token=pad,
+                placeholders=ti_ids)
         else:
             wid, w = pw.encode_weighted(tok, args.prompt,
                                         cfg.clip.max_length, pad_token=pad)

@@ -6,8 +6,9 @@
 // precomputed (latents, conditioning) arrays; this loader mmaps a shard
 // file, assembles shuffled batches on a background thread (row gathers
 // + memcpy into reusable buffers), and hands Python zero-copy-out
-// batches to feed jax.device_put. The Python fallback
-// (train/data.py LatentDataset) has identical semantics.
+// batches to feed jax.device_put. Semantics: a continuous shuffled
+// stream, reshuffled per full pass (the Python fallback
+// train/data.py LatentDataset reshuffles per epoch() call instead).
 //
 // Shard format (written by train/data.py write_shard):
 //   magic  "TFLS"            4 bytes
@@ -101,17 +102,31 @@ struct Loader {
     map = static_cast<const char*>(m);
     madvise(m, map_len, MADV_WILLNEED);
 
+    // bounds-checked header reads: a truncated/corrupt shard must fail
+    // the open (-> nullptr -> Python ValueError), not fault or throw
+    // through the extern "C" boundary
     const char* p = map;
-    auto rd_u32 = [&p]() { uint32_t v; memcpy(&v, p, 4); p += 4; return v; };
-    auto rd_u64 = [&p]() { uint64_t v; memcpy(&v, p, 8); p += 8; return v; };
-    if (rd_u32() != kMagic || rd_u32() != 1) return false;
-    uint32_t n_arrays = rd_u32();
+    const char* end = map + map_len;
+    auto rd_u32 = [&p, end](uint32_t* v) {
+      if (p + 4 > end) return false;
+      memcpy(v, p, 4); p += 4; return true;
+    };
+    auto rd_u64 = [&p, end](uint64_t* v) {
+      if (p + 8 > end) return false;
+      memcpy(v, p, 8); p += 8; return true;
+    };
+    uint32_t magic = 0, version = 0, n_arrays = 0;
+    if (!rd_u32(&magic) || !rd_u32(&version) || !rd_u32(&n_arrays))
+      return false;
+    if (magic != kMagic || version != 1 || n_arrays > 256) return false;
     arrays.resize(n_arrays);
     for (auto& a : arrays) {
-      a.dtype = rd_u32();
-      uint32_t ndim = rd_u32();
+      uint32_t ndim = 0;
+      if (!rd_u32(&a.dtype) || !rd_u32(&ndim)) return false;
+      if (dtype_size(a.dtype) == 0 || ndim == 0 || ndim > 16) return false;
       a.dims.resize(ndim);
-      for (uint32_t d = 0; d < ndim; ++d) a.dims[d] = rd_u64();
+      for (uint32_t d = 0; d < ndim; ++d)
+        if (!rd_u64(&a.dims[d])) return false;
       size_t elems = 1;
       for (uint32_t d = 1; d < ndim; ++d) elems *= a.dims[d];
       a.row_bytes = elems * dtype_size(a.dtype);

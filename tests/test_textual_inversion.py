@@ -107,6 +107,21 @@ class TestEncode:
         ids = ti.encode_with_placeholders(t, "a <CAT> photo", ph, 77)
         assert 70001 in ids
 
+    def test_composes_with_prompt_weighting(self):
+        """(word:1.3) emphasis and <placeholder> substitution in one
+        prompt: the placeholder inherits its fragment's weight and the
+        emphasis weights survive."""
+        from tinyfusers_tpu.tokenizer import prompt_weights as pw
+
+        t = tok()
+        ph = {"<cat>": [70001]}
+        ids, w = pw.encode_weighted(
+            t, "a photo of (<cat>:1.3) swimming", 77, placeholders=ph)
+        assert 70001 in ids
+        assert w[ids.index(70001)] == pytest.approx(1.3)
+        # plain words keep weight 1.0
+        assert w[1] == 1.0
+
     def test_truncation_and_padding(self):
         t = tok()
         ids = ti.encode_with_placeholders(

@@ -13,9 +13,10 @@ original `control_model.*` key scheme (lllyasviel/ControlNet,
 cldm/cldm.py) — mapped in io/state_map.py controlnet_from_state.
 
 TPU-first notes: the whole control branch traces into the same jitted
-denoise step as the UNet (no separate dispatch); the hint encoder runs
-once per step on an NHWC conv stack that XLA fuses; residual adds ride
-the existing skip-concat fusions.
+denoise step as the UNet (no separate dispatch); the image-resolution
+hint encoder runs ONCE per generation (loop-invariant, hoisted outside
+the sampling scan — pipeline/sd.py passes hint_features); residual adds
+ride the existing skip-concat fusions.
 """
 from __future__ import annotations
 
@@ -107,17 +108,22 @@ def encode_hint(params, hint: jax.Array) -> jax.Array:
 def apply(
     params,
     x: jax.Array,
-    hint: jax.Array,
+    hint: "jax.Array | None",
     timesteps: jax.Array,
     context: jax.Array,
     cfg: UNetConfig = unet_model.SD15_CONFIG,
     *,
     scale: float | jax.Array = 1.0,
+    hint_features: "jax.Array | None" = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Run the control branch.
 
     x: (B, h, w, C) latents (same input the UNet sees this step);
-    hint: (B, 8h, 8w, 3) conditioning image in [0, 1].
+    hint: (B, 8h, 8w, 3) conditioning image in [0, 1] — or pass
+    ``hint_features`` (encode_hint output) directly; the hint is
+    loop-invariant across denoise steps, so pipelines encode it ONCE
+    outside the sampling scan rather than running the full-image-
+    resolution conv ladder every step.
     Returns (skip_residuals, middle_residual) shaped exactly like the
     UNet's skip stack — feed as ``unet.apply(..., control=...)``.
     """
@@ -128,7 +134,8 @@ def apply(
     emb = ops.linear(ops.silu(emb), params["time_embed"]["fc2"]["weight"],
                      params["time_embed"]["fc2"]["bias"])
 
-    guided = encode_hint(params, hint).astype(x.dtype)
+    guided = (hint_features if hint_features is not None
+              else encode_hint(params, hint)).astype(x.dtype)
     residuals: List[jax.Array] = []
     for i, (p, block) in enumerate(zip(params["input"], inp)):
         x = unet_model._run_block(p, block, x, emb, context, cfg)

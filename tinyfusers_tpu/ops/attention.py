@@ -56,6 +56,13 @@ def sdpa_xla(
     return out.astype(dtype)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def packed_beneficial(sq: int, sk: int, channels: int, heads: int,
                       itemsize: int = 2) -> bool:
     """Whether the heads-packed flash path applies (models use this at
@@ -64,12 +71,8 @@ def packed_beneficial(sq: int, sk: int, channels: int, heads: int,
     tensors just adds unpack/repack relayouts)."""
     from ..kernels.flash_attention import packed_ok
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    return on_tpu and sq >= 1024 and packed_ok(sq, sk, channels, heads,
-                                               itemsize)
+    return _on_tpu() and sq >= 1024 and packed_ok(sq, sk, channels, heads,
+                                                  itemsize)
 
 
 def sdpa_packed(
@@ -145,11 +148,6 @@ def _default_impl(q: jax.Array, mask) -> str:
     # Flash kernel pays off once Sq is big enough to block (SD UNet
     # self-attention: 4096/1024 tokens). Small sequences (CLIP's 77) and
     # non-TPU backends use the XLA path.
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    sq = q.shape[-2]
-    if on_tpu and mask is None and sq >= 1024:
+    if _on_tpu() and mask is None and q.shape[-2] >= 1024:
         return "flash"
     return "xla"

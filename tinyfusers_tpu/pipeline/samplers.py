@@ -131,6 +131,15 @@ def sample(
 
     if method == "dpmpp_2s_ancestral":
         assert key is not None, "dpmpp_2s_ancestral needs a PRNG key"
+        # continuous timestep for an arbitrary sigma (the midpoint eval
+        # must be CONDITIONED at its own noise level, not the step's
+        # start t): invert the monotone sigma(t) table by interpolation.
+        acp = ddim_mod.alphas_cumprod()
+        sigma_all = jnp.sqrt((1.0 - acp) / acp)  # increasing in t
+
+        def t_of_sigma(sig):
+            return jnp.interp(sig, sigma_all,
+                              jnp.arange(sigma_all.shape[0], dtype=jnp.float32))
 
         def body(carry, i):
             X, k = carry
@@ -153,7 +162,7 @@ def sample(
                 - jnp.expm1(-0.5 * h) * den
             eps_mid = model_fn(
                 _to_model_input(X_mid, s_mid).astype(latent.dtype),
-                t.astype(jnp.float32)).astype(jnp.float32)
+                t_of_sigma(s_mid)).astype(jnp.float32)
             den_mid = _denoised(X_mid, s_mid, eps_mid)
             X_det = (sigma_down / jnp.maximum(sig, 1e-12)) * X \
                 - jnp.expm1(-h) * den_mid

@@ -207,17 +207,22 @@ def sample_latents(
             "ControlNet sampling does not compose with cached-CFG/DeepCache "
             "yet — residuals would go stale with the cached branches")
 
-    def unet_apply(p_, lat_, t_, ctx_):
-        if control is None:
-            return unet.apply(p_, lat_, t_, ctx_, cfg.unet)
+    if control is not None:
         from ..models import controlnet as cn_model
 
         cn_params, hint, cscale = control
+        # hint features are loop-invariant: run the image-resolution conv
+        # ladder ONCE here, outside the sampling scan, not per step
+        guided = cn_model.encode_hint(cn_params, hint)
+
+    def unet_apply(p_, lat_, t_, ctx_):
+        if control is None:
+            return unet.apply(p_, lat_, t_, ctx_, cfg.unet)
         bb = lat_.shape[0]
-        hint_b = jnp.broadcast_to(
-            hint.astype(lat_.dtype), (bb, *hint.shape[1:]))
-        ctrl = cn_model.apply(cn_params, lat_, hint_b, t_, ctx_, cfg.unet,
-                              scale=cscale)
+        guided_b = jnp.broadcast_to(
+            guided.astype(lat_.dtype), (bb, *guided.shape[1:]))
+        ctrl = cn_model.apply(cn_params, lat_, None, t_, ctx_, cfg.unet,
+                              scale=cscale, hint_features=guided_b)
         return unet.apply(p_, lat_, t_, ctx_, cfg.unet, control=ctrl)
 
     if deepcache_interval > 1:

@@ -94,17 +94,42 @@ def parse(text: str) -> List[Tuple[str, float]]:
 def encode_weighted(
     tokenizer: "bpe.ClipTokenizer", text: str, length: int = bpe.CONTEXT_LENGTH,
     pad_token: Optional[int] = None,
+    placeholders: Optional[dict] = None,
 ) -> Tuple[List[int], List[float]]:
     """-> (ids padded to length, per-token weights). SOT/EOT/padding get
     weight 1.0.
 
     pad_token mirrors ClipTokenizer.encode: SD1.x CLIP pads with EOT,
     OpenCLIP (SD2.x / SDXL's second encoder) pads with 0 — pass
-    pad_token=0 there so weighted and plain prompts build identical ids."""
+    pad_token=0 there so weighted and plain prompts build identical ids.
+
+    placeholders: optional {"<word>": [learned ids]} textual-inversion
+    substitutions (io/textual_inversion.extend_clip output) — composes
+    with (word:1.2) emphasis: the placeholder inherits the weight of the
+    fragment it appears in."""
     ids: List[int] = []
     weights: List[float] = []
+
+    def frag_encode(frag: str) -> List[int]:
+        if not placeholders:
+            return tokenizer.encode_text(frag)
+        import re
+
+        lowered = {k.lower(): v for k, v in placeholders.items()}
+        pattern = "(" + "|".join(
+            re.escape(k) for k in sorted(placeholders, key=len, reverse=True)
+        ) + ")"
+        out: List[int] = []
+        for part in re.split(pattern, frag, flags=re.IGNORECASE):
+            learned = lowered.get(part.lower())
+            if learned is not None:
+                out.extend(learned)
+            elif part:
+                out.extend(tokenizer.encode_text(part))
+        return out
+
     for frag, w in parse(text):
-        frag_ids = tokenizer.encode_text(frag)
+        frag_ids = frag_encode(frag)
         ids.extend(frag_ids)
         weights.extend([w] * len(frag_ids))
     if pad_token is None:

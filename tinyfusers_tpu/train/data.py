@@ -111,12 +111,17 @@ def write_shard(path, *arrays: np.ndarray) -> None:
 
 
 class NativeShardDataset:
-    """Shuffled epochs over a TFLS shard via the C++ prefetching loader.
+    """Shuffled batches over a TFLS shard via the C++ prefetching loader.
 
-    Same epoch()/len() surface as LatentDataset. Batches are gathered and
-    staged by a background thread in native code, so host time between
-    train steps is one memcpy per array. Raises if libtfnative.so is
-    unavailable — use LatentDataset as the pure-Python fallback.
+    Same epoch()/len() surface as LatentDataset, with one semantic
+    difference: the native loader is a CONTINUOUS shuffled stream
+    (reshuffled per full pass) that epoch() chunks into len(self)-batch
+    runs — abandoning an epoch() iterator midway resumes the stream
+    where it left off rather than starting a fresh permutation. Batches
+    are gathered and staged by a background thread in native code, so
+    host time between train steps is one memcpy per array. Raises if
+    libtfnative.so is unavailable — use LatentDataset as the pure-Python
+    fallback.
     """
 
     def __init__(self, path, *, batch_size: int, seed: int = 0,
