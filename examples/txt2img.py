@@ -88,10 +88,11 @@ def main():
 
     t0 = time.monotonic()
     if args.ckpt:
-        if is_xl:
-            raise SystemExit("SDXL checkpoint mapping not wired into the CLI yet")
         from tinyfusers_tpu.io import checkpoints
-        params = checkpoints.load_sd_params(args.ckpt, cfg, dtype=dtype)
+        if is_xl:
+            params = checkpoints.load_sdxl_params(args.ckpt, cfg, dtype=dtype)
+        else:
+            params = checkpoints.load_sd_params(args.ckpt, cfg, dtype=dtype)
     else:
         print("no --ckpt given: using seeded random weights (noise output)")
         params = pipe.init(jax.random.key(0), cfg, dtype=dtype)
