@@ -241,6 +241,45 @@ class TestConv2d:
         got = ops.upsample_nearest_2x(jnp.array(x_nchw.transpose(0, 2, 3, 1)))
         assert_close(np.asarray(got).transpose(0, 3, 1, 2), want)
 
+    def test_gemm9_path_matches_conv_emitter_and_torch(self):
+        """Channel-heavy stride-1 3x3 convs dispatch to the
+        9-shifted-GEMM decomposition (ops/conv.py _gemm9_eligible);
+        it must agree with the conv emitter, torch, and support grads."""
+        import jax
+
+        from tinyfusers_tpu.ops import policy
+        from tinyfusers_tpu.ops.conv import _gemm9_eligible
+
+        c = 256  # minimum eligible channel count
+        x_nchw = rand(1, c, 6, 5)
+        w_oihw = rand(c, c, 3, 3, scale=0.05)
+        b = rand(c)
+        x = jnp.array(x_nchw.transpose(0, 2, 3, 1))
+        w = jnp.array(w_oihw.transpose(2, 3, 1, 0))
+        assert _gemm9_eligible(x, w, (1, 1), ((1, 1), (1, 1)), (1, 1), 1)
+        # small-channel / spatial-heavy / strided shapes stay on the emitter
+        assert not _gemm9_eligible(x, w[:, :, :, :64], (1, 1), ((1, 1), (1, 1)), (1, 1), 1)
+        assert not _gemm9_eligible(x, w, (2, 2), ((1, 1), (1, 1)), (1, 1), 1)
+        assert not _gemm9_eligible(
+            jnp.zeros((1, 256, 256, c), x.dtype), w, (1, 1), ((1, 1), (1, 1)), (1, 1), 1)
+
+        want = F.conv2d(
+            torch.tensor(x_nchw), torch.tensor(w_oihw), torch.tensor(b), padding=1
+        ).numpy()
+        assert policy.conv_gemm()  # default on
+        got9 = ops.conv2d(x, w, jnp.array(b), padding=1)
+        policy.set_conv_gemm(False)
+        try:
+            got_emitter = ops.conv2d(x, w, jnp.array(b), padding=1)
+        finally:
+            policy.set_conv_gemm(True)
+        assert_close(np.asarray(got9).transpose(0, 3, 1, 2), want, atol=1e-3, rtol=1e-3)
+        assert_close(np.asarray(got9), np.asarray(got_emitter), atol=1e-4, rtol=1e-4)
+
+        # grad flows through the custom_vjp regardless of forward impl
+        g = jax.grad(lambda xx: jnp.sum(ops.conv2d(xx, w, padding=1) ** 2))(x)
+        assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))
+
 
 class TestEmbedding:
     def test_matches_torch(self):

@@ -23,6 +23,29 @@ from jax import lax
 PadLike = Union[int, Sequence[int]]
 
 
+def _gemm9_eligible(x, w, stride, pad, dilation, groups) -> bool:
+    """Stride-1 3x3 convs that run faster as 9 shifted GEMMs.
+
+    XLA's plain dot emitter tiles (M, C)x(C, O) onto the MXU better than
+    its conv emitter at SD's channel-heavy shapes — measured on v5e
+    (benchmarks/conv_ab.py, overhead-corrected us/call):
+      (2,64,64,320):  147 -> 125   (2,32,32,640): 101 -> 69
+      (2,16,16,1280): 115 -> 87    (1,128,128,512): 532 -> 410
+    but the re-read of the 9 shifted input slices loses badly once the
+    activation dwarfs the weights ((1,512,512,128): 892 -> 3429), hence
+    the channel/spatial guards.
+    """
+    return (
+        w.shape[:2] == (3, 3)
+        and stride == (1, 1)
+        and dilation == (1, 1)
+        and groups == 1
+        and pad == ((1, 1), (1, 1))
+        and min(w.shape[2], w.shape[3]) >= 256
+        and x.shape[1] * x.shape[2] <= 16384
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _conv_acc(x, w, stride, pad, dilation, groups, acc):
     """conv_general_dilated with a widened (f32) accumulator output.
@@ -32,7 +55,28 @@ def _conv_acc(x, w, stride, pad, dilation, groups, acc):
     preferred_element_type (f32 cotangent x bf16 weight). The backward
     runs the standard same-dtype transposed convs in the operand dtype —
     ordinary mixed-precision training semantics (bf16 grads, f32 MXU
-    accumulation internally)."""
+    accumulation internally).
+
+    Eligible stride-1 3x3 convs dispatch to a 9-shifted-GEMM
+    decomposition (see _gemm9_eligible); every tap contracts in fp32 on
+    the MXU and taps are summed in fp32, so accumulation quality matches
+    the conv emitter (reassociated, not bit-identical)."""
+    from .policy import conv_gemm
+
+    if conv_gemm() and _gemm9_eligible(x, w, stride, pad, dilation, groups):
+        n, h, wd, _ = x.shape
+        o = w.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jnp.zeros((n, h, wd, o), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                y = y + jnp.einsum(
+                    "nhwc,co->nhwo",
+                    xp[:, dh:dh + h, dw:dw + wd, :],
+                    w[dh, dw],
+                    preferred_element_type=jnp.float32,
+                )
+        return y.astype(acc)
     return lax.conv_general_dilated(
         x, w, stride, pad, rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 _fast = os.environ.get("TINYFUSERS_FAST_ACCUM", "0") not in ("0", "", "false")
 _quant_kernel = os.environ.get("TINYFUSERS_QUANT_KERNEL", "0") not in ("0", "", "false")
+_conv_gemm = os.environ.get("TINYFUSERS_CONV_GEMM", "1") not in ("0", "", "false")
 
 
 def set_fast_accum(on: bool) -> None:
@@ -43,3 +44,17 @@ def set_quant_kernel(on: bool) -> None:
 
 def quant_kernel() -> bool:
     return _quant_kernel
+
+
+def set_conv_gemm(on: bool) -> None:
+    """Route eligible stride-1 3x3 convs through the 9-shifted-GEMM
+    decomposition (ops/conv.py _gemm9_eligible) instead of the XLA conv
+    emitter. Default on — measured 15-32% faster at SD's channel-heavy
+    conv shapes on v5e (benchmarks/conv_ab.py); ineligible shapes always
+    use the conv emitter."""
+    global _conv_gemm
+    _conv_gemm = on
+
+
+def conv_gemm() -> bool:
+    return _conv_gemm
