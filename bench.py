@@ -1,15 +1,30 @@
 """Benchmark harness: SD1.5 512x512, 20-step DDIM, CFG 7.5, one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line whose headline is pipelined throughput (the serving
+number: dispatch is async, image i's D2H readback overlaps image i+1's
+compute, every image still lands on the host inside the timed window).
+
+The line is self-auditing (round-3 verdict items 2/3):
+  serial_p50_s / serial_images_per_sec — each image fully on the host
+    before the next starts. The serial series is what rounds 1-2
+    measured; ``vs_baseline`` is serial-vs-serial against the round-1
+    first light in bench_baseline.json, so the multiplier never mixes a
+    harness change with a real optimization.
+  device_ms_per_image — trace-derived on-device busy time per image,
+    so a wall-clock regression can be told apart from tunnel jitter
+    (the axon tunnel adds +-15-35 ms readback noise per image; round 3's
+    driver run showed a serial p50 of 0.893 s vs 0.511 s in-session with
+    identical device work).
+  compile_s / persistent_cache_new_entries — cold-start cost and
+    whether the persistent compilation cache actually hit.
 
 The reference (Fatlonder/tinyfusers) publishes no numbers (BASELINE.md),
-so vs_baseline is measured against our own recorded first-light number in
-bench_baseline.json (committed once, then held fixed for the round
-series). Weights are seeded-random (no checkpoint assets in this
-environment); FLOPs and memory traffic are identical to real weights.
+so baselines are our own recorded first-light numbers. Weights are
+seeded-random (no checkpoint assets in this environment); FLOPs and
+memory traffic are identical to real weights.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -19,8 +34,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+CACHE_DIR = "/root/.cache/jax_comp"
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def log(*a):
@@ -34,25 +50,57 @@ def sync(x):
 
 
 def fast_random_params(cfg, dtype, seed=0):
-    """Random weights built host-side with numpy (seconds) instead of
-    per-leaf device RNG over the tunnel (minutes). Same shapes/dtypes as
-    sd.init; distribution detail doesn't matter for throughput."""
+    """Random weights built ON DEVICE from one small uploaded pool.
+
+    Rounds 1-3 built each leaf host-side with numpy and paid a ~1 GB H2D
+    upload over the tunnel (42.8 s in the r2 driver run, 121.7 s in r3 —
+    the unexplained growth was tunnel throughput variance, not code).
+    Here the host uploads a single 4 MB pool once and ONE jitted program
+    tiles it into every leaf on device: H2D is ~4 MB total and the build
+    is HBM-write-bound (sub-second for SD1.5's ~1B params). Each leaf is
+    a distinct buffer, so HBM footprint and read traffic match real
+    weights; values are recycled, which throughput doesn't see.
+    """
     from tinyfusers_tpu.pipeline import sd
 
     shapes = jax.eval_shape(lambda: sd.init(jax.random.key(0), cfg, dtype=dtype))
     rng = np.random.default_rng(seed)
-    # One random block recycled across leaves: weight *values* don't matter
-    # for throughput, and per-leaf RNG for ~1B params takes minutes on a
-    # small host.
-    pool = (rng.standard_normal(1 << 20).astype(np.float32) * 0.02)
+    pool = jnp.asarray(rng.standard_normal(1 << 20).astype(np.float32) * 0.02)
 
-    def fill(leaf):
-        n = int(np.prod(leaf.shape)) if leaf.shape else 1
-        reps = -(-n // pool.size)
-        arr = np.tile(pool, reps)[:n].reshape(leaf.shape)
-        return jnp.asarray(arr, dtype=leaf.dtype)
+    # One tiny jitted builder per DISTINCT (shape, dtype) — SD1.5 has 954
+    # leaves but only 80 distinct shapes, so this is ~80 sub-second
+    # compiles (persistently cached) and 954 cheap async dispatches.
+    # (A single jit over the whole 954-output tree measured 202 s to
+    # compile; per-leaf host numpy + H2D measured 43-122 s of tunnel
+    # upload. This path: ~4 MB H2D + device-side tiling.)
+    builders = {}
 
-    return jax.tree.map(fill, shapes)
+    def builder(shape, dt):
+        key = (shape, str(dt))
+        if key not in builders:
+            n = 1
+            for s in shape:
+                n *= s
+            reps = -(-n // pool.size)
+
+            @jax.jit
+            def b(p, n=n, reps=reps, shape=shape, dt=dt):
+                return jnp.tile(p, reps)[:n].reshape(shape).astype(dt)
+
+            builders[key] = b
+        return builders[key]
+
+    params = jax.tree.map(
+        lambda leaf: builder(leaf.shape, leaf.dtype)(pool), shapes)
+    sync(params)
+    return params
+
+
+def _cache_entries():
+    try:
+        return len(os.listdir(CACHE_DIR))
+    except OSError:
+        return 0
 
 
 def main():
@@ -61,6 +109,7 @@ def main():
     batch = 1
 
     from tinyfusers_tpu.pipeline import sd
+    from tinyfusers_tpu.utils.profiling import device_time_from_trace
 
     cfg = sd.SD15
     dtype = jnp.bfloat16
@@ -68,19 +117,30 @@ def main():
 
     t0 = time.monotonic()
     params = fast_random_params(cfg, dtype)
-    log(f"init params (host): {time.monotonic()-t0:.1f}s")
+    init_s = time.monotonic() - t0
+    log(f"init params (on-device build): {init_s:.1f}s")
 
     ids = jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406)
     uids = ids
     latent = sd.initial_latent(jax.random.key(1), batch, cfg, dtype)
     guidance = jnp.float32(7.5)
 
+    cache_before = _cache_entries()
     t0 = time.monotonic()
-    for _ in range(2):  # compile + flush lazy weight upload
-        img = sd.generate(params, ids, uids, latent, guidance, num_steps=steps, cfg=cfg)
-        sync(img)
-    log(f"warmup (compile + weight upload): {time.monotonic()-t0:.1f}s")
+    img = sd.generate(params, ids, uids, latent, guidance, num_steps=steps, cfg=cfg)
+    sync(img)
+    compile_s = time.monotonic() - t0
+    cache_new = _cache_entries() - cache_before
+    t0 = time.monotonic()
+    img = sd.generate(params, ids, uids, latent, guidance, num_steps=steps, cfg=cfg)
+    sync(img)
+    warm_s = time.monotonic() - t0
+    log(f"first call (compile + weight residency): {compile_s:.1f}s "
+        f"(persistent-cache new entries: {cache_new}; "
+        f"{'MISS -> compiled' if cache_new else 'HIT or already warm'})")
+    log(f"second call (steady state): {warm_s:.3f}s")
 
+    # --- serial latency: each image fully on the host before the next ---
     n_runs = 3 if quick else 7
     times = []
     for _ in range(n_runs):
@@ -89,14 +149,31 @@ def main():
         np.asarray(img)  # e2e includes the image reaching the host
         times.append(time.perf_counter() - t0)
     times.sort()
-    p50 = times[len(times) // 2]
-    step_ms = p50 / steps * 1e3  # upper bound incl. CLIP+VAE amortized
-    log(f"e2e p50 latency: {p50:.3f}s  (~{step_ms:.1f} ms/step incl. CLIP+VAE)")
+    serial_p50 = times[len(times) // 2]
+    serial_ips = batch / serial_p50
+    log(f"serial e2e p50: {serial_p50:.3f}s  ({serial_ips:.3f} img/s; "
+        f"spread {times[0]:.3f}-{times[-1]:.3f}s — tunnel readback jitter)")
 
-    # Throughput: JAX dispatch is async, so each image's D2H readback
-    # (~26 ms for 512x512x3 over this tunnel) overlaps the next image's
-    # compute — exactly how serve/engine.py harvests decodes. Every image
-    # still reaches the host inside the timed window.
+    # --- device time per image, from a profiler trace (audit number) ---
+    trace_dir = "/tmp/tf_bench_trace"
+    n_trace = 3
+    device_ms = None
+    try:
+        jax.profiler.start_trace(trace_dir)
+        for i in range(n_trace):
+            img = sd.generate(params, ids, uids, latent, guidance,
+                              num_steps=steps, cfg=cfg)
+        np.asarray(img)
+        jax.profiler.stop_trace()
+        dev_s = device_time_from_trace(trace_dir)
+        if dev_s:
+            device_ms = dev_s / n_trace * 1e3
+            log(f"device busy time: {device_ms:.1f} ms/image (trace, {n_trace} runs)")
+    except Exception as e:  # noqa: BLE001 — profiling is best-effort
+        log(f"trace capture failed ({type(e).__name__}: {e}); "
+            "device_ms_per_image unavailable")
+
+    # --- pipelined throughput: readback overlaps next image's compute ---
     n_tp = 4 if quick else 10
     latents = [
         sd.initial_latent(jax.random.key(i + 2), batch, cfg, dtype)
@@ -113,22 +190,31 @@ def main():
         prev = img
     np.asarray(prev)
     total = time.perf_counter() - t0
-    images_per_sec = n_tp * batch / total
-    log(f"throughput: {n_tp} images in {total:.3f}s  ({images_per_sec:.3f} img/s, "
-        f"readback overlapped with compute)")
+    pipelined_ips = n_tp * batch / total
+    log(f"pipelined throughput: {n_tp} images in {total:.3f}s  "
+        f"({pipelined_ips:.3f} img/s)")
 
     baseline_file = Path(__file__).parent / "bench_baseline.json"
+    vs_serial = 1.0
     if baseline_file.exists():
-        base = json.loads(baseline_file.read_text())["images_per_sec_per_chip"]
-        vs = images_per_sec / base
-    else:
-        vs = 1.0
+        base = json.loads(baseline_file.read_text())
+        vs_serial = serial_ips / base["images_per_sec_per_chip"]
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip_sd15_512x512_20step_cfg",
-        "value": round(images_per_sec, 4),
+        "value": round(pipelined_ips, 4),
         "unit": "images/s/chip",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(vs_serial, 3),
+        "harness": "pipelined-throughput",
+        "vs_baseline_basis": "serial-vs-serial (round-1 serial first light; "
+                             "headline value is pipelined throughput)",
+        "serial_p50_s": round(serial_p50, 4),
+        "serial_images_per_sec": round(serial_ips, 4),
+        "pipelined_images_per_sec": round(pipelined_ips, 4),
+        "device_ms_per_image": round(device_ms, 1) if device_ms else None,
+        "compile_s": round(compile_s, 1),
+        "persistent_cache_new_entries": cache_new,
+        "param_init_s": round(init_s, 1),
     }))
 
 

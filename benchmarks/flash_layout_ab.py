@@ -6,7 +6,8 @@ Compares, at the SD1.5/SDXL self-attention geometries:
   bshd   : heads left in place, BlockSpec index maps gather per-head
            tiles — what the models do now.
   packed : heads-packed (B,S,H*d) kernel — the models' production path.
-Plus the row vs transposed-logits kernel variants for bhsd.
+(A transposed-logits kernel variant was also A/B'd here in round 3;
+it lost every measurement and was removed from the kernel module.)
 
 Chained-scan timing (per benchmarks/flash_sweep.py): single-call timing
 is swamped by the axon tunnel's ~5-8 ms dispatch jitter.
@@ -69,30 +70,25 @@ def main():
         k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
         v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
         print(f"[{name}] b={b} s={s} h={h} d={d}", flush=True)
-        for variant in ("row", "t"):
-            def bhsd_t(q, k, v, vr=variant):
-                qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-                o = flash_attention(qt, kt, vt, variant=vr)
-                return o.transpose(0, 2, 1, 3)
+        def bhsd_t(q, k, v):
+            qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            o = flash_attention(qt, kt, vt)
+            return o.transpose(0, 2, 1, 3)
 
-            def packed(q, k, v, H=h):
-                bb, ss, hh_, dd = q.shape
-                o = flash_attention(
-                    q.reshape(bb, ss, hh_ * dd), k.reshape(bb, ss, hh_ * dd),
-                    v.reshape(bb, ss, hh_ * dd), layout="packed", heads=H)
-                return o.reshape(bb, ss, hh_, dd)
+        def packed(q, k, v, H=h):
+            bb, ss, hh_, dd = q.shape
+            o = flash_attention(
+                q.reshape(bb, ss, hh_ * dd), k.reshape(bb, ss, hh_ * dd),
+                v.reshape(bb, ss, hh_ * dd), layout="packed", heads=H)
+            return o.reshape(bb, ss, hh_, dd)
 
-            pairs = (("bhsd+T", bhsd_t),)
-            if variant == "row":  # packed kernel has one (row) layout
-                pairs += (("packed", packed),)
-            for label, fn in pairs:
-                try:
-                    t = per_call(fn, q, k, v)
-                    print(f"    {variant:3s} {label}  {t*1e3:7.3f} ms",
-                          flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(f"    {variant:3s} {label}  FAIL "
-                          f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+        for label, fn in (("bhsd+T", bhsd_t), ("packed", packed)):
+            try:
+                t = per_call(fn, q, k, v)
+                print(f"    {label}  {t*1e3:7.3f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"    {label}  FAIL "
+                      f"{type(e).__name__}: {str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

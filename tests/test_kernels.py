@@ -65,32 +65,6 @@ class TestFlashAttention:
             flash_attention(q, q, q, mask=jnp.ones((128, 128)))
 
     @pytest.mark.parametrize(
-        "bh,sq,sk,d",
-        [
-            (2, 256, 256, 40),   # multi-k-block online softmax
-            (1, 300, 300, 64),   # padded rows+cols
-            (2, 256, 77, 64),    # single k block w/ padding
-        ],
-    )
-    def test_transposed_variant_matches_xla(self, bh, sq, sk, d):
-        q, k, v = rand(0, bh, sq, d), rand(1, bh, sk, d), rand(2, bh, sk, d)
-        want = sdpa_xla(q, k, v)
-        got = flash_attention(q, k, v, block_q=128, block_k=128,
-                              interpret=True, variant="t")
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=2e-4)
-
-    def test_transposed_variant_causal(self):
-        bh, s, d = 1, 256, 64
-        q, k, v = rand(0, bh, s, d), rand(1, bh, s, d), rand(2, bh, s, d)
-        mask = jnp.tril(jnp.ones((s, s), bool))
-        want = sdpa_xla(q, k, v, mask)
-        got = flash_attention(q, k, v, causal=True, block_q=128,
-                              block_k=128, interpret=True, variant="t")
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=2e-4)
-
-    @pytest.mark.parametrize(
         "b,s,h,d",
         [
             (2, 256, 4, 40),   # SD1.5-style packed heads

@@ -266,13 +266,14 @@ class TestConv2d:
         want = F.conv2d(
             torch.tensor(x_nchw), torch.tensor(w_oihw), torch.tensor(b), padding=1
         ).numpy()
-        assert policy.conv_gemm()  # default on
-        got9 = ops.conv2d(x, w, jnp.array(b), padding=1)
-        policy.set_conv_gemm(False)
+        prior = policy.conv_gemm()
+        policy.set_conv_gemm(True)  # pin both paths regardless of env
         try:
+            got9 = ops.conv2d(x, w, jnp.array(b), padding=1)
+            policy.set_conv_gemm(False)
             got_emitter = ops.conv2d(x, w, jnp.array(b), padding=1)
         finally:
-            policy.set_conv_gemm(True)
+            policy.set_conv_gemm(prior)
         assert_close(np.asarray(got9).transpose(0, 3, 1, 2), want, atol=1e-3, rtol=1e-3)
         assert_close(np.asarray(got9), np.asarray(got_emitter), atol=1e-4, rtol=1e-4)
 

@@ -114,92 +114,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-def _kernel_t(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-              sk_real: int, block_k: int, causal: bool,
-              block_q: int, nk: int):
-    """Transposed-logits variant for small head dims.
-
-    Computes sT = k @ qT (block_k, block_q) and oT = vT @ p (d, block_q),
-    so the head dim d sits on the MXU *sublane* axis (granularity 8)
-    instead of the 128-wide lane axis in the p @ v product. For SD1.5's
-    d=40 heads the row-layout p@v wastes 88/128 lanes; here the lane axis
-    carries block_q (full) and only the final small (d, block_q)
-    transpose pays for the layout. Softmax stats reduce over sublanes.
-    """
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    pad_rows = nk * block_k != sk_real
-
-    def logits_t():
-        q = q_ref[0]  # (block_q, d), prescaled by scale*log2(e)
-        k = k_ref[0]  # (block_k, d)
-        s = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_k, block_q), base-2 logits, transposed
-        row = None
-        if pad_rows:
-            row = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            s = jnp.where(row < sk_real, s, NEG_INF)
-        if causal:
-            if row is None:
-                row = j * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, 0)
-            col = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(row <= col, s, NEG_INF)
-        return s
-
-    def vtp(p):
-        # (d, block_q) = v^T @ p, contraction over the k block on both.
-        return jax.lax.dot_general(
-            v_ref[0], p.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if nk == 1:
-        s = logits_t()
-        m = jnp.max(s, axis=0, keepdims=True)          # (1, block_q)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=0, keepdims=True)
-        if pad_rows or causal:
-            l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (vtp(p) / l).T.astype(o_ref.dtype)
-        return
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    def compute():
-        s = logits_t()
-        m_prev = m_scr[:]          # (1, block_q)
-        l_prev = l_scr[:]
-        m_cur = jnp.max(s, axis=0, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp2(s - m_new)
-        correction = jnp.exp2(m_prev - m_new)
-        l_new = correction * l_prev + jnp.sum(p, axis=0, keepdims=True)
-        acc_scr[:] = acc_scr[:] * correction + vtp(p)
-        m_scr[:] = m_new
-        l_scr[:] = l_new
-
-    if causal:
-        first_masked = (j * block_k) > (i * block_q + block_q - 1)
-
-        @pl.when(jnp.logical_not(first_masked))
-        def _():
-            compute()
-    else:
-        compute()
-
-    @pl.when(j == nk - 1)
-    def _finish():
-        l = l_scr[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l).T.astype(o_ref.dtype)
-
-
 def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *,
                    sk_real: int, block_k: int, block_q: int,
                    heads: int, d: int):
@@ -290,13 +204,6 @@ def _default_blocks(sq: int, sk: int, d: int) -> tuple:
     return 512, 1024       # (16, 1024, 80) -> ~0.62 ms; mid-size default
 
 
-def _default_variant(sq: int, sk: int, d: int) -> str:
-    """Kernel layout choice. 'row' = classic (logits (bq, bk), p@v);
-    't' = transposed (logits (bk, bq), v^T@p) — wins when d is far below
-    the 128-lane width, where p@v would waste (128-d)/128 of the MXU."""
-    return "row"
-
-
 def packed_ok(sq: int, sk: int, channels: int, heads: int,
               itemsize: int = 2) -> bool:
     """Whether the heads-packed single-k-block kernel applies: the whole
@@ -319,7 +226,7 @@ def packed_ok(sq: int, sk: int, channels: int, heads: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "causal", "block_q", "block_k", "interpret", "variant",
+        "scale", "causal", "block_q", "block_k", "interpret",
         "layout", "heads",
     ),
 )
@@ -334,7 +241,6 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
-    variant: Optional[str] = None,
     layout: str = "bhsd",
     heads: Optional[int] = None,
 ) -> jax.Array:
@@ -422,24 +328,19 @@ def flash_attention(
     nq = q3.shape[1] // bq
     nk = k3.shape[1] // bk
 
-    if variant is None:
-        variant = _default_variant(sq, sk, d)
-    if variant == "t":
-        kernel_fn, scr = _kernel_t, [
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((d, bq), jnp.float32),
-        ]
-    else:
-        kernel_fn, scr = _kernel, [
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ]
+    # A transposed-logits ('t') kernel variant (logits (bk, bq), v^T@p,
+    # targeting small head dims) was built and A/B'd in round 3; it lost
+    # every measurement to this row layout (BASELINE.md: 1.353 vs
+    # 1.147 ms at SD1.5 geometry) and was removed.
     kernel = functools.partial(
-        kernel_fn, sk_real=sk, block_k=bk, causal=causal,
+        _kernel, sk_real=sk, block_k=bk, causal=causal,
         block_q=bq, nk=nk,
     )
+    scr = [
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, d), jnp.float32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(q3.shape[0], nq, nk),

@@ -72,10 +72,12 @@ def _conv_acc(x, w, stride, pad, dilation, groups, acc):
     ):
         # 1x1 conv is exactly a per-pixel GEMM; the dot emitter beats the
         # conv emitter at the VAE's (1,128,128,512) projections (58 -> 36
-        # us overhead-corrected) and matches it elsewhere.
+        # us overhead-corrected) and matches it elsewhere. Accumulate in
+        # `acc` (not unconditionally f32) so the fast-accum policy's
+        # halved-activation-traffic intent survives on this route too.
         return jnp.einsum(
-            "nhwc,co->nhwo", x, w[0, 0], preferred_element_type=jnp.float32
-        ).astype(acc)
+            "nhwc,co->nhwo", x, w[0, 0], preferred_element_type=acc
+        )
     if conv_gemm() and _gemm9_eligible(x, w, stride, pad, dilation, groups):
         n, h, wd, _ = x.shape
         o = w.shape[-1]

@@ -10,6 +10,13 @@ accum_dtype():
 
 MXU accumulation is fp32 internally on TPU either way; this only governs
 the dtype of values leaving a fused region.
+
+TRACE-TIME KNOBS: every knob here is read at trace time and does NOT
+participate in jit cache keys. Set knobs (env var or setter) at process
+start, before the first compilation of any function that consults them;
+flipping one after a model has compiled silently leaves the already-
+traced dispatch in place for that compiled program. The setters exist
+for tests and benchmarks, which compile fresh callables per setting.
 """
 from __future__ import annotations
 

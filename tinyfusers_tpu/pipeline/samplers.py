@@ -13,6 +13,13 @@ All samplers consume ``model_fn(x_ddpm, t_float) -> eps`` (the UNet + CFG
 closure, called with DDPM-space input so the network sees what it was
 trained on) and run entirely inside one jitted lax.scan.
 
+Stateful model functions: pass ``aux_init`` and a 3-arg
+``model_fn(x_ddpm, t_float, aux) -> (eps, aux)`` to thread caller state
+through every network call — this is how cached CFG (pipeline/sd.py
+``uncond_interval``) reuses the unconditional branch across calls under
+EVERY sampler, including the 2-NFE ones (heun, dpmpp_2s_ancestral),
+where "every k-th" counts network calls, not ladder steps.
+
 Implemented: euler, euler_ancestral, heun (2nd-order, 2 NFE/step),
 dpmpp_2m (2nd-order multistep), dpmpp_2s_ancestral (2nd-order
 single-step ancestral, 2 NFE/step), plus ddim re-expressed in this
@@ -53,45 +60,60 @@ def _denoised(X, sigma, eps):
 
 
 def sample(
-    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    model_fn: Callable,
     latent: jax.Array,
     num_steps: int,
     *,
     method: str = "euler",
     key: Optional[jax.Array] = None,
+    aux_init=None,
 ) -> jax.Array:
     """Run ``num_steps`` of the chosen sampler.
 
     latent: standard-normal initial noise (DDPM convention, as in
     sd.initial_latent). Returns the final denoised latent (DDPM space,
     i.e. x0 — alphas at sigma=0 coincide).
+
+    aux_init: when given, ``model_fn`` must take (x, t, aux) and return
+    (eps, aux); the aux pytree is threaded through every network call in
+    scan order (see module docstring).
     """
+    if aux_init is None:
+        def mfn(x, t, aux, _raw=model_fn):
+            return _raw(x, t), aux
+        aux0 = jnp.zeros(())  # inert scan-carry placeholder
+    else:
+        mfn, aux0 = model_fn, aux_init
+
     if method == "ddim":
-        return _sample_ddim(model_fn, latent, num_steps)
+        return _sample_ddim(mfn, aux0, latent, num_steps)
     ts, sigmas = sigma_ladder(num_steps)
     lat32 = latent.astype(jnp.float32)
     X = lat32 * jnp.sqrt(1.0 + sigmas[0] ** 2)  # lift N(0,1) into sigma space
 
+    def call(X_in, sig, t, aux):
+        eps, aux = mfn(_to_model_input(X_in, sig).astype(latent.dtype),
+                       t.astype(jnp.float32), aux)
+        return eps.astype(jnp.float32), aux
+
     if method == "euler":
         def body(carry, i):
-            X = carry
+            X, aux = carry
             sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
-            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
-                           t.astype(jnp.float32)).astype(jnp.float32)
+            eps, aux = call(X, sig, t, aux)
             X = X + eps * (sig_next - sig)
-            return X, None
+            return (X, aux), None
 
-        X, _ = jax.lax.scan(body, X, jnp.arange(num_steps))
+        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(num_steps))
         return X.astype(latent.dtype)
 
     if method == "euler_ancestral":
         assert key is not None, "euler_ancestral needs a PRNG key"
 
         def body(carry, i):
-            X, k = carry
+            X, k, aux = carry
             sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
-            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
-                           t.astype(jnp.float32)).astype(jnp.float32)
+            eps, aux = call(X, sig, t, aux)
             # ancestral split of the step variance
             var_up = sig_next**2 * (sig**2 - sig_next**2) / jnp.maximum(sig**2, 1e-12)
             sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
@@ -99,9 +121,9 @@ def sample(
             X = X + eps * (sigma_down - sig)
             k, sub = jax.random.split(k)
             X = X + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
-            return (X, k), None
+            return (X, k, aux), None
 
-        (X, _), _ = jax.lax.scan(body, (X, key), jnp.arange(num_steps))
+        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(num_steps))
         return X.astype(latent.dtype)
 
     if method == "heun":
@@ -110,23 +132,20 @@ def sample(
         # terminal sigma_next==0 step stays plain Euler — lax.cond keeps
         # both in one compiled scan body without a dynamic batch).
         def body(carry, i):
-            X = carry
+            X, aux = carry
             sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
-            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
-                           t.astype(jnp.float32)).astype(jnp.float32)
+            eps, aux = call(X, sig, t, aux)
             dt = sig_next - sig
             X_pred = X + eps * dt
             # slope at sig_next, evaluated with the *next* ladder
             # timestep (last step: t again; its result is discarded).
             t_next = ts[jnp.minimum(i + 1, num_steps - 1)]
-            eps2 = model_fn(
-                _to_model_input(X_pred, sig_next).astype(latent.dtype),
-                t_next.astype(jnp.float32)).astype(jnp.float32)
+            eps2, aux = call(X_pred, sig_next, t_next, aux)
             X_heun = X + 0.5 * (eps + eps2) * dt
             X = jnp.where(sig_next > 0.0, X_heun, X_pred)
-            return X, None
+            return (X, aux), None
 
-        X, _ = jax.lax.scan(body, X, jnp.arange(num_steps))
+        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(num_steps))
         return X.astype(latent.dtype)
 
     if method == "dpmpp_2s_ancestral":
@@ -142,10 +161,9 @@ def sample(
                               jnp.arange(sigma_all.shape[0], dtype=jnp.float32))
 
         def body(carry, i):
-            X, k = carry
+            X, k, aux = carry
             sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
-            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
-                           t.astype(jnp.float32)).astype(jnp.float32)
+            eps, aux = call(X, sig, t, aux)
             den = _denoised(X, sig, eps)
             var_up = sig_next**2 * (sig**2 - sig_next**2) / jnp.maximum(
                 sig**2, 1e-12)
@@ -160,9 +178,7 @@ def sample(
             s_mid = jnp.exp(-(lt + 0.5 * h))
             X_mid = (s_mid / jnp.maximum(sig, 1e-12)) * X \
                 - jnp.expm1(-0.5 * h) * den
-            eps_mid = model_fn(
-                _to_model_input(X_mid, s_mid).astype(latent.dtype),
-                t_of_sigma(s_mid)).astype(jnp.float32)
+            eps_mid, aux = call(X_mid, s_mid, t_of_sigma(s_mid), aux)
             den_mid = _denoised(X_mid, s_mid, eps_mid)
             X_det = (sigma_down / jnp.maximum(sig, 1e-12)) * X \
                 - jnp.expm1(-h) * den_mid
@@ -170,17 +186,16 @@ def sample(
             X_det = jnp.where(sigma_down > 0.0, X_det, den)
             k, sub = jax.random.split(k)
             X = X_det + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
-            return (X, k), None
+            return (X, k, aux), None
 
-        (X, _), _ = jax.lax.scan(body, (X, key), jnp.arange(num_steps))
+        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(num_steps))
         return X.astype(latent.dtype)
 
     if method == "dpmpp_2m":
         def body(carry, i):
-            X, old_den, have_old = carry
+            X, old_den, have_old, aux = carry
             sig, sig_next, t = sigmas[i], sigmas[i + 1], ts[i]
-            eps = model_fn(_to_model_input(X, sig).astype(latent.dtype),
-                           t.astype(jnp.float32)).astype(jnp.float32)
+            eps, aux = call(X, sig, t, aux)
             den = _denoised(X, sig, eps)
             # log-sigma time; guard the terminal sigma=0 with a floor, the
             # ratio sig_next/sig -> 0 makes the update exact there anyway.
@@ -197,25 +212,26 @@ def sample(
                 den,
             )
             X = (sig_next / jnp.maximum(sig, 1e-12)) * X - jnp.expm1(-h) * den2
-            return (X, den, jnp.bool_(True)), None
+            return (X, den, jnp.bool_(True), aux), None
 
-        init = (X, jnp.zeros_like(X), jnp.bool_(False))
-        (X, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+        init = (X, jnp.zeros_like(X), jnp.bool_(False), aux0)
+        (X, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
         return X.astype(latent.dtype)
 
     raise ValueError(f"unknown sampler {method!r}; options: {SAMPLERS}")
 
 
-def _sample_ddim(model_fn, latent, num_steps):
+def _sample_ddim(mfn, aux0, latent, num_steps):
     """DDIM via the shared interface (same math as ddim.ddim_step)."""
     timesteps = ddim_mod.ddim_timesteps(num_steps)
     alphas, alphas_prev = ddim_mod.ddim_alphas(num_steps)
     xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
 
-    def body(lat, x):
+    def body(carry, x):
+        lat, aux = carry
         t, a_t, a_prev = x
-        eps = model_fn(lat, t.astype(jnp.float32))
-        return ddim_mod.ddim_step(lat, eps, a_t, a_prev), None
+        eps, aux = mfn(lat, t.astype(jnp.float32), aux)
+        return (ddim_mod.ddim_step(lat, eps, a_t, a_prev), aux), None
 
-    lat, _ = jax.lax.scan(body, latent, xs)
+    (lat, _), _ = jax.lax.scan(body, (latent, aux0), xs)
     return lat

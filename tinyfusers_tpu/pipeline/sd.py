@@ -175,13 +175,15 @@ def sample_latents(
     [0, 1] at full image resolution.
 
     method: any of pipeline.samplers.SAMPLERS ("ddim", "euler",
-    "euler_ancestral", "dpmpp_2m").
+    "euler_ancestral", "heun", "dpmpp_2m", "dpmpp_2s_ancestral").
 
-    uncond_interval k>1 enables cached CFG: the unconditional eps is
-    recomputed only every k-th step and reused between (the uncond
-    prediction drifts slowly across adjacent timesteps) — cuts UNet work
-    toward 50% at large k. Approximate: validate with
-    benchmarks/quant_eval.py-style PSNR before shipping outputs.
+    uncond_interval k>1 enables cached CFG: the unconditional prediction
+    is recomputed only every k-th network call and reused between (it
+    drifts slowly across adjacent noise levels) — cuts UNet work toward
+    50% at large k. Works under EVERY sampler (the cache rides the
+    sampler aux state; for the 2-NFE methods k counts network calls).
+    Approximate: validate with benchmarks/quant_eval.py-style PSNR
+    before shipping outputs.
 
     deepcache_interval k>1 enables DeepCache (models/unet.apply
     deepcache=): the deep U-Net trunk runs every k-th step, in between
@@ -269,33 +271,25 @@ def sample_latents(
 
         return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
 
-    if method != "ddim":
-        raise ValueError("uncond_interval>1 currently supports method='ddim'")
-
-    timesteps = ddim.ddim_timesteps(num_steps)
-    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
-    xs = (
-        jnp.arange(num_steps),
-        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
-    )
-
-    def body(carry, x):
-        lat, e_u_prev = carry
-        i, t, a_t, a_prev = x
-        tb = jnp.broadcast_to(t.astype(jnp.float32), (b,))
-        e_c = unet.apply(unet_params, lat, tb, context, cfg.unet)
-        e_u = jax.lax.cond(
-            i % uncond_interval == 0,
-            lambda: unet.apply(unet_params, lat, tb, uncond_context, cfg.unet),
-            lambda: e_u_prev,
+    # Cached CFG under ANY sampler: the samplers thread an aux pytree
+    # through every network call (samplers.sample aux_init), so the
+    # cached uncond output composes with the 2-NFE methods too — there
+    # "every uncond_interval-th" counts network calls, not ladder steps.
+    def model_fn(lat, t, aux):
+        n, o_u_prev = aux
+        tb = jnp.broadcast_to(t, (b,))
+        o_c = unet_apply(unet_params, lat, tb, context)
+        o_u = jax.lax.cond(
+            n % uncond_interval == 0,
+            lambda: unet_apply(unet_params, lat, tb, uncond_context),
+            lambda: o_u_prev,
         )
-        e_t = model_out_to_eps(
-            ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
-        return (ddim.ddim_step(lat, e_t, a_t, a_prev), e_u), None
+        o_t = ddim.cfg_combine(o_u, o_c, guidance)
+        return model_out_to_eps(o_t, lat, t, cfg), (n + 1, o_u)
 
-    init = (latent, jnp.zeros_like(latent))
-    (latent, _), _ = jax.lax.scan(body, init, xs)
-    return latent
+    aux0 = (jnp.int32(0), jnp.zeros_like(latent))
+    return samplers.sample(model_fn, latent, num_steps, method=method,
+                           key=key, aux_init=aux0)
 
 
 def _sample_deepcache(

@@ -5,8 +5,10 @@ penultimate hidden states concatenated then zero-padded to the MMDiT
 context width; pooled embeddings concatenated for the conditioning
 vector), a 16-channel VAE, joint-attention MMDiT backbone, CFG on the
 velocity field, Euler rectified-flow integration. T5-XXL conditioning is
-intentionally out of scope this round (the context layout leaves its
-token span zero — the standard no-T5 configuration).
+optional: configs with ``t5`` set (SD3_MEDIUM_T5_CFG etc.) append the
+T5 tower's hidden states after the CLIP tokens when ``ids_t5`` is
+passed; otherwise that span stays zero (the standard no-T5
+configuration).
 """
 from __future__ import annotations
 

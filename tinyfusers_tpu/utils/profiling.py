@@ -61,6 +61,46 @@ def trace(logdir: str = "/tmp/tinyfusers_trace"):
         jax.profiler.stop_trace()
 
 
+def device_time_from_trace(logdir: str) -> Optional[float]:
+    """Total on-device busy time (seconds) from the newest trace under
+    ``logdir``.
+
+    Uses the TPU "XLA Modules" thread — one span per executed program,
+    i.e. wall-clock device occupancy. (Summing the leaf-op "XLA Ops"
+    thread instead OVERSTATES busy time: leaf events overlap in wall
+    time across functional units / async DMA — measured 655 "ms" of
+    leaf sums against 339 ms of module span for one SD1.5 image.)
+    Returns None when no trace was written (the platform may not
+    support profiling)."""
+    import glob
+    import gzip
+    import json as _json
+
+    traces = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        return None
+    with gzip.open(traces[-1]) as fh:
+        data = _json.load(fh)
+    pids, modules_tids = {}, set()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name" and \
+                e["args"].get("name") == "XLA Modules":
+            modules_tids.add((e["pid"], e["tid"]))
+    total_us = 0
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        if (e["pid"], e.get("tid")) in modules_tids:
+            total_us += e["dur"]
+    return total_us / 1e6 if total_us else None
+
+
 def device_memory_stats(device=None) -> Dict[str, int]:
     d = device or jax.devices()[0]
     stats = getattr(d, "memory_stats", lambda: None)()
