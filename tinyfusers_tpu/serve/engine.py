@@ -17,10 +17,19 @@ script (example/sd1.py). Design (diffusion-native continuous batching):
   decode is ready (JAX dispatch is async; only the final host copy can
   block, and only when forced). Decode therefore never stalls the denoise
   cadence of other slots.
+- CLIP encode is dispatched asynchronously at submit() (one batched
+  [uncond ‖ cond] call per request, plus the seeded initial latent) and
+  stays ON DEVICE: admission merges it into the slot state with a small
+  jitted injection, so a tick with admissions never blocks the denoise
+  cadence on encode round-trips (the round-3 engine read encodes back to
+  host vectors inside step(), stalling every active slot per admission).
 - Multi-host: the per-tick control vectors (t, alphas, guidance, active)
   are broadcast from process 0 (parallel.distributed.sync_decision) so
   every process feeds the jitted step identical inputs; submissions must
-  be mirrored to all processes (same-order submit() calls everywhere).
+  be mirrored to all processes (same-order submit() calls everywhere —
+  encode/latent dispatch is deterministic given mirrored submissions, so
+  the injected device values agree across processes too; the
+  cross-process bit-equality test in tests/test_multihost.py pins this).
 """
 from __future__ import annotations
 
@@ -203,10 +212,37 @@ class Engine:
         self._next_rid = 0
         self._requests: Dict[int, Request] = {}  # in-flight + queued only
         self._pending_decodes: List = []         # (rid, device image array)
+        # rid -> (ctx2 (2,T,D) [uncond ‖ cond], lat0) device arrays,
+        # dispatched asynchronously at submit() time.
+        self._staged: Dict[int, tuple] = {}
 
         self._encode = jax.jit(
             lambda p, ids: sd.encode_text(p, ids, cfg)
         )
+
+        def _inject_fn(latents, contexts, slot, lat0, ctx2):
+            """Merge one admitted request's state into the slot arrays —
+            pure device compute (dynamic_update_index at a traced slot),
+            no host staging or readback."""
+            s = latents.shape[0]
+            latents = jax.lax.dynamic_update_index_in_dim(
+                latents, lat0.astype(latents.dtype), slot, axis=0)
+            contexts = jax.lax.dynamic_update_index_in_dim(
+                contexts, ctx2[0].astype(contexts.dtype), slot, axis=0)
+            contexts = jax.lax.dynamic_update_index_in_dim(
+                contexts, ctx2[1].astype(contexts.dtype), slot + s, axis=0)
+            return latents, contexts
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import DATA_AXIS
+
+            data_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._inject = jax.jit(
+                _inject_fn, out_shardings=(data_sh, data_sh))
+        else:
+            self._inject = jax.jit(_inject_fn)
         def _decode_fn(vae_params, latents, slot):
             z = jax.lax.dynamic_index_in_dim(latents, slot, axis=0,
                                              keepdims=True)
@@ -222,15 +258,12 @@ class Engine:
     # -- jitted per-tick step over all slots -----------------------------
 
     def _slot_step(self, unet_params, latents, contexts, guidance, t, a_t,
-                   a_prev, active, inj_mask, inj_lat, inj_ctx):
-        """All slot-state mutation lives INSIDE the jitted step: newly
-        assigned requests' initial latents/contexts arrive as host
-        vectors and are merged functionally (multi-host safe — global
-        arrays are never indexed or .at[]-updated from host code)."""
+                   a_prev, active):
+        """Denoise every slot by one step. All slot-state mutation is
+        functional device compute (admissions were merged by _inject;
+        global arrays are never indexed or .at[]-updated from host
+        code — multi-host safe)."""
         s = latents.shape[0]
-        latents = jnp.where(inj_mask[:, None, None, None], inj_lat, latents)
-        inj2 = jnp.concatenate([inj_mask, inj_mask], axis=0)
-        contexts = jnp.where(inj2[:, None, None], inj_ctx, contexts)
         lat2 = jnp.concatenate([latents, latents], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         eps = unet_model.apply(unet_params, lat2, t2, contexts, self.cfg.unet)
@@ -247,6 +280,17 @@ class Engine:
     def submit(self, req: Request) -> int:
         self.core.submit(req.request_id, req.num_steps)
         self._requests[req.request_id] = req
+        # Dispatch the CLIP encode ([uncond ‖ cond] in one batched call)
+        # and the seeded initial latent NOW, asynchronously — by the time
+        # the request is admitted they are ready (or still in flight; the
+        # injection consumes them on-device either way, never blocking
+        # the tick on a host readback).
+        ids2 = jnp.stack([jnp.asarray(req.uncond_ids),
+                          jnp.asarray(req.prompt_ids)], axis=0)
+        ctx2 = self._encode(self.params, ids2)
+        lat0 = jax.random.normal(
+            jax.random.key(req.seed), self.cfg.latent_shape, self._dtype)
+        self._staged[req.request_id] = (ctx2, lat0)
         return req.request_id
 
     def reset(self) -> None:
@@ -259,6 +303,7 @@ class Engine:
         self._steps_total.clear()
         self._requests.clear()
         self._pending_decodes.clear()
+        self._staged.clear()
         self.guidance[:] = 0.0
 
     def make_request(self, prompt_ids, uncond_ids, *, num_steps=20,
@@ -270,38 +315,29 @@ class Engine:
 
     def _ladder(self, num_steps: int) -> np.ndarray:
         if num_steps not in self._ladders:
-            self._ladders[num_steps] = np.asarray(ddim.ddim_timesteps(num_steps))
+            # host-side numpy mirror of ddim.ddim_timesteps — the ladder
+            # feeds host scheduling (per-slot t/alpha lookups), so keep
+            # even its one-time construction off the device
+            self._ladders[num_steps] = np.arange(
+                1, 1000, 1000 // num_steps, dtype=np.int32)
         return self._ladders[num_steps]
 
     def step(self) -> List[Result]:
         """One scheduler tick: admit, denoise every active slot by one
         step, harvest completions. Returns decoded results.
 
-        Admissions are staged as HOST vectors (inj_*) and merged inside
-        the jitted step; with >1 process every per-tick control tensor is
-        broadcast from process 0, so all hosts feed the global arrays
-        identical inputs."""
-        np_dtype = jnp.dtype(self._dtype)
-        h, w, c = self.cfg.latent_shape
-        t_len, d = self.cfg.clip.max_length, self.cfg.clip.dim
-        inj_mask = np.zeros((self.S,), bool)
-        inj_lat = np.zeros((self.S, h, w, c), np_dtype)
-        inj_ctx = np.zeros((2 * self.S, t_len, d), np_dtype)
+        Admissions are merged on-device (_inject) from the encodes the
+        submit() call already dispatched — the tick performs NO host
+        readback (asserted by tests/test_serve.py); with >1 process the
+        per-tick control vectors are broadcast from process 0, so all
+        hosts feed the global arrays identical inputs."""
         for rid, slot, steps in self.core.assign():
             req = self._requests[rid]
             self._steps_total[slot] = steps
             self.guidance[slot] = req.guidance
-            ids = jnp.asarray(req.prompt_ids)[None]
-            uids = jnp.asarray(req.uncond_ids)[None]
-            # text encode runs process-locally (replicated inputs) and is
-            # deterministic, so every host stages identical vectors
-            inj_ctx[self.S + slot] = np.asarray(
-                self._encode(self.params, ids)[0]).astype(np_dtype)
-            inj_ctx[slot] = np.asarray(
-                self._encode(self.params, uids)[0]).astype(np_dtype)
-            inj_lat[slot] = np.asarray(jax.random.normal(
-                jax.random.key(req.seed), self.cfg.latent_shape, self._dtype))
-            inj_mask[slot] = True
+            ctx2, lat0 = self._staged.pop(rid)
+            self.latents, self.contexts = self._inject(
+                self.latents, self.contexts, jnp.int32(slot), lat0, ctx2)
 
         # Per-slot (t, a_t, a_prev) from remaining counts; inactive slots
         # get harmless identity values (a_t = a_prev = 1).
@@ -325,10 +361,8 @@ class Engine:
         if jax.process_count() > 1:
             from ..parallel.distributed import sync_decision
 
-            (t, a_t, a_prev, active, guidance, inj_mask, inj_lat,
-             inj_ctx) = sync_decision(
-                (t, a_t, a_prev, active, self.guidance, inj_mask, inj_lat,
-                 inj_ctx))
+            t, a_t, a_prev, active, guidance = sync_decision(
+                (t, a_t, a_prev, active, self.guidance))
         else:
             guidance = self.guidance
 
@@ -337,8 +371,6 @@ class Engine:
                 self.params["unet"], self.latents, self.contexts,
                 jnp.asarray(guidance), jnp.asarray(t),
                 jnp.asarray(a_t), jnp.asarray(a_prev), jnp.asarray(active),
-                jnp.asarray(inj_mask), jnp.asarray(inj_lat),
-                jnp.asarray(inj_ctx),
             )
 
         for rid, slot in self.core.tick():
