@@ -28,11 +28,18 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="rendered.png")
     p.add_argument("--ckpt", default=None, help="SD1.x .ckpt or .safetensors")
+    p.add_argument("--fallback-tokenizer", action="store_true",
+                   help="allow the byte-level tokenizer fallback even with "
+                        "--ckpt (ONLY for synthetic-weight drills — its ids "
+                        "are NOT CLIP's, real checkpoints will produce "
+                        "garbage conditioning)")
     p.add_argument("--preset",
-                   choices=["sd15", "sd21-base", "sd21-v", "tiny", "sdxl",
-                            "tinyxl"],
+                   choices=["sd15", "sd15-quarter", "sd21-base", "sd21-v",
+                            "tiny", "sdxl", "tinyxl"],
                    default="sd15",
-                   help="tiny/tinyxl = toy configs for smoke tests (CPU-friendly)")
+                   help="tiny/tinyxl = toy configs for smoke tests "
+                        "(CPU-friendly); sd15-quarter = 1/4-width SD1.5 "
+                        "(checkpoint-drill / CPU-feasible full topology)")
     p.add_argument("--uncond-interval", type=int, default=1,
                    help=">1: cached CFG (recompute uncond eps every k steps)")
     p.add_argument("--deepcache-interval", type=int, default=1,
@@ -82,7 +89,8 @@ def main():
         pipe = sdxl
     else:
         cfg = {"sd15": sd.SD15, "sd21-base": sd.SD21_BASE,
-               "sd21-v": sd.SD21_V, "tiny": sd.TINY}[args.preset]
+               "sd21-v": sd.SD21_V, "tiny": sd.TINY,
+               "sd15-quarter": sd.SD15_QUARTER}[args.preset]
         pipe = sd
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -105,7 +113,8 @@ def main():
 
     # With real weights the byte-level fallback would silently produce
     # garbage conditioning — hard-fail unless this is a random-weight run.
-    tok = bpe.ClipTokenizer.load_default(allow_fallback=args.ckpt is None)
+    tok = bpe.ClipTokenizer.load_default(
+        allow_fallback=args.ckpt is None or args.fallback_tokenizer)
 
     # SD2.x conditions on OpenCLIP, which pads with 0 instead of EOT.
     pad = 0 if args.preset.startswith("sd21") else bpe.EOT

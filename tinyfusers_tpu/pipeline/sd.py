@@ -64,6 +64,23 @@ SD21_V = SDConfig(
     clip_final_norm_on_skip=True,
 )
 
+# Quarter-channel SD1.5: the real 4-level topology, attention levels,
+# GN32 grouping and CLIP/VAE structure, at 1/4 width (~90M params — a
+# >100 MB fp16 checkpoint). Used by the checkpoint drill
+# (benchmarks/ckpt_drill.py tests the FULL geometry; tests/
+# test_ckpt_drill.py drives this one through the CLI) and handy as a
+# CPU-feasible smoke config that still exercises full-SD code paths.
+SD15_QUARTER = SDConfig(
+    clip=clip.CLIPConfig(vocab_size=1024, max_length=77, dim=256,
+                         num_layers=4, num_heads=8, mlp_dim=1024),
+    unet=unet.UNetConfig(model_channels=128, channel_mult=(1, 2, 4, 4),
+                         attention_levels=(0, 1, 2), context_dim=256,
+                         num_heads=8, num_groups=32),
+    vae=vae.VAEConfig(base_channels=64, channel_mult=(1, 1, 2, 4, 4)),
+    height=256,
+    width=256,
+)
+
 # Tiny end-to-end config for tests: same code paths, toy sizes.
 TINY = SDConfig(
     clip=clip.CLIPConfig(vocab_size=128, max_length=16, dim=32, num_layers=2,
