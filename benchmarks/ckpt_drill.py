@@ -70,11 +70,21 @@ def write_ckpts(state, out_dir: Path):
     return st_path, pt_path
 
 
+_RUNNER = r"""
+import resource, subprocess, sys
+r = subprocess.run(sys.argv[1:])
+peak_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+print(f"CHILD_PEAK_RSS_KB={peak_kb}", flush=True)
+sys.exit(r.returncode)
+"""
+
+
 def drive_cli(ckpt: Path, steps: int = 4):
-    """Run the production CLI under /usr/bin/time -v; parse load time,
-    total wall and peak RSS."""
+    """Run the production CLI under a peak-RSS-recording wrapper
+    (no /usr/bin/time in this image); parse load time, wall, peak RSS."""
     cmd = [
-        "/usr/bin/time", "-v", sys.executable, "examples/txt2img.py",
+        sys.executable, "-c", _RUNNER,
+        sys.executable, "examples/txt2img.py",
         "--ckpt", str(ckpt), "--steps", str(steps), "--timing",
         "--fallback-tokenizer",  # synthetic weights: CLIP ids irrelevant
         "--out", f"/tmp/drill_{ckpt.suffix.lstrip('.')}.png",
@@ -85,12 +95,13 @@ def drive_cli(ckpt: Path, steps: int = 4):
     wall = time.monotonic() - t0
     out = r.stdout + r.stderr
     load = re.search(r"params ready in ([0-9.]+)s", out)
-    rss = re.search(r"Maximum resident set size \(kbytes\): (\d+)", out)
+    rss = re.search(r"CHILD_PEAK_RSS_KB=(\d+)", out)
     ok = r.returncode == 0 and "saved" in out
-    print(f"[{ckpt.suffix}] ok={ok} wall={wall:.1f}s "
-          f"load={load.group(1) if load else '?'}s "
-          f"peak_rss={int(rss.group(1))/1e6:.2f}GB" if rss else
-          f"[{ckpt.suffix}] ok={ok} (no rss)")
+    msg = (f"[{ckpt.suffix}] ok={ok} wall={wall:.1f}s "
+           f"load={load.group(1) if load else '?'}s")
+    if rss:
+        msg += f" peak_rss={int(rss.group(1))/1e6:.2f}GB"
+    print(msg, flush=True)
     if not ok:
         print(out[-3000:])
     return ok

@@ -177,3 +177,138 @@ class TestCLIPvsTransformers:
             clip_model.apply_pooled(params, jnp.asarray(ids), cfg))
         np.testing.assert_allclose(
             ours_p, out.text_embeds.numpy(), atol=2e-5, rtol=0)
+
+
+class TestCLIPVisionVsTransformers:
+    """The CLIP-score image tower (models/clip_vision.py) against HF
+    CLIPVisionModelWithProjection — the exact code that consumes the
+    openai/clip-vit-large-patch14 weights the scorer will load."""
+
+    def _hf_vision(self, cfg, seed):
+        from transformers import CLIPVisionConfig as HFVC
+        from transformers import CLIPVisionModelWithProjection
+
+        hf_cfg = HFVC(
+            hidden_size=cfg.dim,
+            intermediate_size=cfg.mlp_dim,
+            num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads,
+            image_size=cfg.image_size,
+            patch_size=cfg.patch_size,
+            projection_dim=cfg.projection_dim,
+            hidden_act=cfg.act,
+        )
+        torch.manual_seed(seed)
+        model = CLIPVisionModelWithProjection(hf_cfg).eval()
+        with torch.no_grad():
+            for p in model.parameters():
+                p.add_(torch.randn_like(p) * 0.02)
+        return model
+
+    def test_image_embeds_match_hf(self):
+        from tinyfusers_tpu.models import clip_vision
+
+        cfg = clip_vision.TINY_VISION
+        model = self._hf_vision(cfg, seed=11)
+        state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params = state_map.clip_vision_from_state(state, cfg)
+
+        rng = np.random.default_rng(5)
+        pixels = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)
+                                     ).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.tensor(
+                pixels.transpose(0, 3, 1, 2))).image_embeds.numpy()
+        ours = np.asarray(clip_vision.apply(params, jnp.asarray(pixels), cfg))
+        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=0)
+
+    def test_clip_score_pipeline(self):
+        """End-to-end scorer sanity on random weights: scores land in
+        [-100, 100], identical (image, text) pairs give identical
+        scores, and the uint8 preprocessing path runs."""
+        from tinyfusers_tpu.eval import clip_score as cs
+        from tinyfusers_tpu.models import clip_vision
+
+        vcfg = clip_vision.TINY_VISION
+        tcfg = clip_model.CLIPConfig(vocab_size=128, max_length=16, dim=64,
+                                     num_layers=2, num_heads=4, mlp_dim=128,
+                                     projection_dim=vcfg.projection_dim)
+        scorer = {
+            "text": clip_model.init(jax.random.key(0), tcfg),
+            "text_cfg": tcfg,
+            "vision": clip_vision.init(jax.random.key(1), vcfg),
+            "vision_cfg": vcfg,
+        }
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+        ids = _ids(tcfg, batch=3, seed=2)
+        scores = cs.clip_score(scorer, jnp.asarray(imgs), jnp.asarray(ids))
+        assert scores.shape == (3,)
+        assert np.all(np.abs(scores) <= 100.0 + 1e-4)
+        again = cs.clip_score(scorer, jnp.asarray(imgs), jnp.asarray(ids))
+        np.testing.assert_array_equal(scores, again)
+
+    def test_scorer_loader_from_hf_checkpoint_file(self, tmp_path):
+        """load_scorer_params: a full CLIPModel-layout safetensors file
+        (text_model.* + vision_model.* + both projections) -> scorer."""
+        from transformers import CLIPConfig as HFCC, CLIPModel
+
+        from tinyfusers_tpu.eval import clip_score as cs
+        from tinyfusers_tpu.models import clip_vision
+
+        vcfg = clip_vision.TINY_VISION
+        tcfg = clip_model.CLIPConfig(vocab_size=128, max_length=16, dim=48,
+                                     num_layers=2, num_heads=4, mlp_dim=96,
+                                     projection_dim=vcfg.projection_dim)
+        hf_cfg = HFCC(
+            projection_dim=vcfg.projection_dim,
+            text_config={
+                "vocab_size": tcfg.vocab_size, "hidden_size": tcfg.dim,
+                "intermediate_size": tcfg.mlp_dim,
+                "num_hidden_layers": tcfg.num_layers,
+                "num_attention_heads": tcfg.num_heads,
+                "max_position_embeddings": tcfg.max_length,
+                "hidden_act": tcfg.act,
+                "bos_token_id": tcfg.vocab_size - 2,
+                "eos_token_id": tcfg.vocab_size - 1,
+            },
+            vision_config={
+                "hidden_size": vcfg.dim, "intermediate_size": vcfg.mlp_dim,
+                "num_hidden_layers": vcfg.num_layers,
+                "num_attention_heads": vcfg.num_heads,
+                "image_size": vcfg.image_size, "patch_size": vcfg.patch_size,
+                "hidden_act": vcfg.act,
+            },
+        )
+        torch.manual_seed(7)
+        model = CLIPModel(hf_cfg).eval()
+        with torch.no_grad():
+            for p in model.parameters():
+                p.add_(torch.randn_like(p) * 0.02)
+        state = {k: v.detach().numpy() for k, v in model.state_dict().items()
+                 if "position_ids" not in k}
+        path = tmp_path / "clip_scorer.safetensors"
+        safetensors_io.save_state_dict(state, path)
+
+        scorer = cs.load_scorer_params(path, tcfg, vcfg)
+        rng = np.random.default_rng(1)
+        pixels = rng.standard_normal(
+            (2, vcfg.image_size, vcfg.image_size, 3)).astype(np.float32)
+        ids = _ids(tcfg, batch=2, seed=9)
+        with torch.no_grad():
+            ref_i = model.get_image_features(
+                torch.tensor(pixels.transpose(0, 3, 1, 2))).numpy()
+            ref_t = model.get_text_features(torch.tensor(ids)).numpy()
+        ref_i /= np.linalg.norm(ref_i, axis=-1, keepdims=True)
+        ref_t /= np.linalg.norm(ref_t, axis=-1, keepdims=True)
+        want = 100.0 * np.sum(ref_i * ref_t, axis=-1)
+        # bypass preprocess (pixels already "preprocessed" here): score
+        # manually through the embed fns
+        import jax.numpy as jnp_
+        from tinyfusers_tpu.models import clip_vision as cv
+        e_img = cv.apply(scorer["vision"], jnp_.asarray(pixels), vcfg)
+        e_img = np.array(e_img)
+        e_img /= np.linalg.norm(e_img, axis=-1, keepdims=True)
+        e_txt = np.asarray(cs.embed_texts(scorer, jnp_.asarray(ids)))
+        got = 100.0 * np.sum(e_img * e_txt, axis=-1)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)

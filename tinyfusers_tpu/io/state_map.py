@@ -288,6 +288,66 @@ def clip_from_state(state: Dict[str, np.ndarray], cfg=None):
     return params
 
 
+def clip_vision_from_state(state: Dict[str, np.ndarray], cfg,
+                           prefix: str = "vision_model"):
+    """HF CLIPModel/CLIPVisionModelWithProjection vision tower ->
+    models/clip_vision.py param tree.
+
+    Layout (openai/clip-vit-large-patch14):
+      {prefix}.embeddings.{class_embedding, patch_embedding.weight,
+                           position_embedding.weight}
+      {prefix}.pre_layrnorm / post_layernorm      (HF's 'layrnorm' typo)
+      {prefix}.encoder.layers.N.{layer_norm1, self_attn.*, layer_norm2,
+                                 mlp.fc1/fc2}
+      visual_projection.weight  (sibling of the tower, (proj, dim))
+    """
+
+    def get(k: str) -> np.ndarray:
+        return state[f"{prefix}.{k}"]
+
+    def layer(i: int):
+        lp = f"encoder.layers.{i}"
+        return {
+            "layer_norm1": _norm(get, f"{lp}.layer_norm1"),
+            "self_attn": {
+                "q_proj": _linear(get, f"{lp}.self_attn.q_proj"),
+                "k_proj": _linear(get, f"{lp}.self_attn.k_proj"),
+                "v_proj": _linear(get, f"{lp}.self_attn.v_proj"),
+                "out_proj": _linear(get, f"{lp}.self_attn.out_proj"),
+            },
+            "layer_norm2": _norm(get, f"{lp}.layer_norm2"),
+            "mlp": {
+                "fc1": _linear(get, f"{lp}.mlp.fc1"),
+                "fc2": _linear(get, f"{lp}.mlp.fc2"),
+            },
+        }
+
+    import jax
+
+    patch_w = get("embeddings.patch_embedding.weight")  # (dim, 3, P, P)
+    parent = prefix.rsplit(".vision_model", 1)[0] if (
+        prefix.endswith(".vision_model")) else ""
+    proj_key = (f"{parent}.visual_projection.weight" if parent
+                else "visual_projection.weight")
+    stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                           *[layer(i) for i in range(cfg.num_layers)])
+    return {
+        "class_embedding": get("embeddings.class_embedding"),
+        "patch_embedding": {
+            "weight": np.ascontiguousarray(patch_w.transpose(2, 3, 1, 0)),
+        },
+        "position_embedding": {
+            "weight": get("embeddings.position_embedding.weight"),
+        },
+        "pre_layernorm": _norm(get, "pre_layrnorm"),
+        "layers": stacked,
+        "post_layernorm": _norm(get, "post_layernorm"),
+        "visual_projection": {
+            "weight": np.ascontiguousarray(state[proj_key].T),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # Inverse mapping: param tree -> SD-format state dict (export / save side —
 # the reference's get_state_dict was an empty stub, storage/state.py:25-26).
