@@ -125,6 +125,14 @@ def main():
         ctx = jnp.asarray(batch[1], dtype)
         state, metrics = step_fn(state, base, (x0, ctx), sub)
         done = int(state.step)
+        if done == 1:
+            from tinyfusers_tpu.utils.profiling import device_memory_stats
+
+            stats = device_memory_stats()
+            if stats.get("bytes_in_use"):
+                print(f"device HBM in use after step 1: "
+                      f"{stats['bytes_in_use']/1e9:.2f} GB "
+                      f"(peak {stats.get('peak_bytes_in_use', 0)/1e9:.2f} GB)")
         if done % args.log_every == 0 or done == args.steps:
             print(f"step {done:5d}  loss {float(metrics['loss']):.4f}  "
                   f"gnorm {float(metrics['grad_norm']):.3f}  "

@@ -226,3 +226,61 @@ class TestFlashLargeShapes:
                               interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=3e-4)
+
+
+class TestFlashGradients:
+    """Training differentiates through the flash dispatch (LoRA/full
+    fine-tune on TPU): the custom_vjp wrappers must produce the exact
+    softmax-attention gradient (the XLA path's) while keeping the Pallas
+    kernel as the forward."""
+
+    def _interp_flash(self, monkeypatch):
+        import functools as ft
+
+        from tinyfusers_tpu.kernels import flash_attention as fa_mod
+
+        orig = fa_mod.flash_attention
+        monkeypatch.setattr(fa_mod, "flash_attention",
+                            ft.partial(orig, interpret=True))
+
+    def test_packed_grad_matches_xla(self, monkeypatch):
+        self._interp_flash(monkeypatch)
+        from tinyfusers_tpu.ops import attention as att
+
+        b, s, h, d = 1, 256, 2, 40
+        q, k, v = (rand(i, b, s, h * d).astype(jnp.float32) for i in range(3))
+
+        def loss_flash(q, k, v):
+            o = att._flash_packed_diff(q, k, v, h, None)
+            return jnp.sum(o * o)
+
+        def loss_xla(q, k, v):
+            unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+            o = att.sdpa_xla(unpack(q), unpack(k), unpack(v))
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+            return jnp.sum(o * o)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-3)
+
+    def test_bhsd_grad_matches_xla(self, monkeypatch):
+        self._interp_flash(monkeypatch)
+        from tinyfusers_tpu.ops import attention as att
+
+        bh, s, d = 2, 256, 64
+        q, k, v = (rand(i, bh, s, d).astype(jnp.float32) for i in range(3))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(att._flash_bhsd_diff(q, k, v, None) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(att.sdpa_xla(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-3)

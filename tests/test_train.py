@@ -1,6 +1,8 @@
 """Training subsystem tests: objective math vs closed form, overfit
 convergence on a tiny UNet, LoRA adapter isolation, EMA, DP+TP sharded
 train step on the virtual mesh, checkpoint round-trip."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -366,3 +368,29 @@ class TestNativeLoader:
         assert got.dtype == ml_dtypes.bfloat16
         np.testing.assert_array_equal(
             got.astype(np.float32), lat.astype(np.float32))
+
+
+class TestTrainCLI:
+    def test_train_lora_cli_loss_decreases(self, tmp_path):
+        """The user-facing fine-tune surface (examples/train_lora.py) on
+        synthetic data for a few hundred steps: loss must come down and
+        adapters must save (the BASELINE training-subsystem drill at CI
+        scale; the full-size TPU datum lives in BASELINE.md)."""
+        import re
+        import subprocess
+        import sys
+
+        out = tmp_path / "lora.safetensors"
+        r = subprocess.run(
+            [sys.executable, "examples/train_lora.py", "--preset", "tiny",
+             "--cpu", "--steps", "200", "--batch", "4", "--rank", "4",
+             "--log-every", "20", "--out", str(out)],
+            capture_output=True, text=True,
+            cwd=Path(__file__).resolve().parent.parent, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        losses = [float(m) for m in re.findall(r"loss ([0-9.]+)", r.stdout)]
+        assert len(losses) >= 5
+        # robust decrease check: mean of last 3 logs well below first log
+        assert np.mean(losses[-3:]) < losses[0] * 0.9, losses
+        assert out.exists()

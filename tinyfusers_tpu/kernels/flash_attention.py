@@ -298,6 +298,13 @@ def flash_attention(
             ],
             out_specs=pl.BlockSpec((1, bq, c), lambda g, i, j: (g, i, 0)),
             out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+            # Mosaic's default scoped-vmem limit is 16 MB; the packed
+            # kernel's kv blocks + fp32 logits sit right at that edge
+            # and the training-step compile (same shapes inside the
+            # custom_vjp forward) measured 19.7 MB of stack. v5e has
+            # 128 MB of physical VMEM — raise the cap for this kernel.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(q3, k3, v3)
         return out[:, :sq]

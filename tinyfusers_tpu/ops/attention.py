@@ -15,6 +15,7 @@ can be forced either way with ``impl=``.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -75,6 +76,69 @@ def packed_beneficial(sq: int, sk: int, channels: int, heads: int,
                                                   itemsize)
 
 
+# -- differentiable flash wrappers -------------------------------------
+# The Pallas kernels have no JVP/VJP rules; training paths differentiate
+# through attention (LoRA/full fine-tune on TPU routes the UNet's
+# self-attention here). custom_vjp keeps the FAST flash kernel as the
+# forward (O(S) memory, the inference path unchanged) and computes the
+# backward with the exact-math XLA expression's vjp from the saved
+# (q, k, v) — the standard analytic softmax-attention gradient, O(S^2)
+# transient memory in backward only (pair with remat for big batches; a
+# blockwise Pallas backward kernel is the future upgrade if fine-tuning
+# at 16k-token SDXL geometries becomes a bottleneck).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_packed_diff(q, k, v, heads: int, scale):
+    from ..kernels.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, scale=scale, layout="packed",
+                           heads=heads)
+
+
+def _flash_packed_fwd(q, k, v, heads, scale):
+    return _flash_packed_diff(q, k, v, heads, scale), (q, k, v)
+
+
+def _flash_packed_bwd(heads, scale, res, g):
+    q, k, v = res
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+
+    def ref(q_, k_, v_):
+        unpack = lambda x, s: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
+        o = sdpa_xla(unpack(q_, sq), unpack(k_, sk), unpack(v_, sk),
+                     scale=scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, c)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_bhsd_diff(q, k, v, scale):
+    from ..kernels.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_bhsd_fwd(q, k, v, scale):
+    return _flash_bhsd_diff(q, k, v, scale), (q, k, v)
+
+
+def _flash_bhsd_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_xla(q_, k_, v_, scale=scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_bhsd_diff.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
+
+
 def sdpa_packed(
     q: jax.Array,
     k: jax.Array,
@@ -103,10 +167,7 @@ def sdpa_packed(
         impl = _default_impl(q, None)
     if impl == "flash" and packed_ok(
             sq, sk, c, heads, jnp.dtype(q.dtype).itemsize):
-        from ..kernels.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, scale=scale, layout="packed",
-                               heads=heads)
+        return _flash_packed_diff(q, k, v, heads, scale)
     unpack = lambda x, s: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
     o = sdpa(unpack(q, sq), unpack(k, sk), unpack(v, sk),
              scale=scale, impl=impl)
@@ -133,9 +194,11 @@ def sdpa(
     if impl is None:
         impl = _default_impl(q, mask)
     if impl == "flash":
-        from ..kernels.flash_attention import flash_attention
+        if mask is not None:
+            from ..kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, scale=scale)
+            return flash_attention(q, k, v, mask=mask, scale=scale)
+        return _flash_bhsd_diff(q, k, v, scale)
     if impl.startswith("ring"):
         from ..parallel.ring_attention import ring_sdpa
 
