@@ -140,3 +140,29 @@ class TestCachedCFG:
         bound = 72 if method == "dpmpp_2m" else 40
         assert np.abs(da - db).mean() < bound  # same ballpark image
         assert not np.array_equal(da, db)      # but a real approximation
+
+
+class TestDeepCacheAllSamplers:
+    @pytest.mark.parametrize("method,combo", [("euler", False),
+                                              ("dpmpp_2m", False),
+                                              ("heun", True)])
+    def test_deepcache_composes(self, method, combo):
+        """DeepCache (and the DeepCache+cached-CFG combo) rides the
+        sampler aux state, so non-DDIM samplers run it too and stay in
+        the same image ballpark as their exact forward."""
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        kw = dict(deepcache_interval=2, deepcache_split=2)
+        if combo:
+            kw["uncond_interval"] = 2
+        a = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=4, cfg=cfg, method=method)
+        b = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                        num_steps=4, cfg=cfg, method=method, **kw)
+        da = np.asarray(a).astype(int)
+        db = np.asarray(b).astype(int)
+        assert np.abs(da - db).mean() < 72
+        assert not np.array_equal(da, db)

@@ -203,12 +203,13 @@ def sample_latents(
     before shipping outputs.
 
     deepcache_interval k>1 enables DeepCache (models/unet.apply
-    deepcache=): the deep U-Net trunk runs every k-th step, in between
-    only the first/last ``deepcache_split`` blocks run against the
-    cached deep feature. Approximate; ddim only. Composes with
-    uncond_interval>1: the cond branch runs DeepCache while the uncond
-    branch runs a full UNet every uncond_interval steps (reused in
-    between) — see _sample_deepcache_cached_cfg below.
+    deepcache=): the deep U-Net trunk runs every k-th network call, in
+    between only the first/last ``deepcache_split`` blocks run against
+    the cached deep feature. Approximate; works under every sampler
+    (the cache rides the sampler aux state, like cached CFG). Composes
+    with uncond_interval>1: the cond branch runs DeepCache while the
+    uncond branch runs a full UNet every uncond_interval-th call
+    (reused in between) — see _sample_deepcache_cached_cfg below.
     """
     from . import samplers
 
@@ -245,23 +246,22 @@ def sample_latents(
         return unet.apply(p_, lat_, t_, ctx_, cfg.unet, control=ctrl)
 
     if deepcache_interval > 1:
-        if method != "ddim":
-            raise ValueError("deepcache_interval>1 supports method='ddim'")
         if uncond_interval > 1:
             # Max-speed combination: the cond branch runs DeepCache
             # (shallow between full refreshes), the uncond branch runs a
-            # FULL UNet but only every uncond_interval steps (reused in
+            # FULL UNet but only every uncond_interval-th call (reused in
             # between) — no second cache to go stale.
             return _sample_deepcache_cached_cfg(
                 unet_params, latent, context, uncond_context,
                 num_steps=num_steps, guidance=guidance, cfg=cfg,
                 dk=deepcache_interval, split=deepcache_split,
-                uk=uncond_interval,
+                uk=uncond_interval, method=method, key=key,
             )
         return _sample_deepcache(
             unet_params, latent, context, uncond_context,
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
+            method=method, key=key,
         )
 
     if uncond_context is None:
@@ -312,18 +312,16 @@ def sample_latents(
 def _sample_deepcache(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
+    method: str = "ddim", key=None,
 ):
-    """DDIM + CFG loop with DeepCache: full UNet every ``interval`` steps,
-    shallow (first/last ``split`` blocks + cached deep feature) between."""
+    """CFG sampling with DeepCache under ANY sampler: full UNet every
+    ``interval``-th network call, shallow (first/last ``split`` blocks +
+    cached deep feature) between — the deep-feature cache rides the
+    sampler aux state exactly like cached CFG."""
+    from . import samplers
+
     b = latent.shape[0]
     context2 = jnp.concatenate([uncond_context, context], axis=0)
-
-    timesteps = ddim.ddim_timesteps(num_steps)
-    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
-    xs = (
-        jnp.arange(num_steps),
-        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
-    )
 
     def full(lat2, t2, cache):
         eps, cache_new = unet.apply(
@@ -344,39 +342,35 @@ def _sample_deepcache(
         lambda l2, t2: full(l2, t2, None)[1], lat2_s, t2_s)
     cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
 
-    def body(carry, x):
-        lat, cache = carry
-        i, t, a_t, a_prev = x
+    def model_fn(lat, t, aux):
+        n, cache = aux
         lat2 = jnp.concatenate([lat, lat], axis=0)
         t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
         eps, cache = jax.lax.cond(
-            i % interval == 0,
+            n % interval == 0,
             lambda: full(lat2, t2, cache),
             lambda: shallow(lat2, t2, cache),
         )
         e_t = model_out_to_eps(
             ddim.cfg_combine(eps[:b], eps[b:], guidance), lat, t, cfg)
-        return (ddim.ddim_step(lat, e_t, a_t, a_prev), cache), None
+        return e_t, (n + 1, cache)
 
-    (latent, _), _ = jax.lax.scan(body, (latent, cache0), xs)
-    return latent
+    return samplers.sample(model_fn, latent, num_steps, method=method,
+                           key=key, aux_init=(jnp.int32(0), cache0))
 
 
 def _sample_deepcache_cached_cfg(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
+    method: str = "ddim", key=None,
 ):
-    """DDIM with DeepCache on the cond branch + cached CFG on the uncond
-    branch (cond and uncond run as separate B-batches here, unlike the
-    batched-2B paths). Cost per step ~ shallow(B) + full(B)/uk."""
-    b = latent.shape[0]
-    timesteps = ddim.ddim_timesteps(num_steps)
-    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
-    xs = (
-        jnp.arange(num_steps),
-        timesteps[::-1], alphas[::-1], alphas_prev[::-1],
-    )
+    """DeepCache on the cond branch + cached CFG on the uncond branch
+    (cond and uncond run as separate B-batches here, unlike the
+    batched-2B paths), composable with any sampler via the aux state.
+    Cost per network call ~ shallow(B) + full(B)/uk."""
+    from . import samplers
 
+    b = latent.shape[0]
     lat_s = jax.eval_shape(lambda l: l, latent)
     t_s = jax.ShapeDtypeStruct((b,), jnp.float32)
     ctx_s = jax.eval_shape(lambda c: c, context)
@@ -386,30 +380,29 @@ def _sample_deepcache_cached_cfg(
         lat_s, t_s, ctx_s)
     cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
 
-    def body(carry, x):
-        lat, e_u_prev, cache = carry
-        i, t, a_t, a_prev = x
+    def model_fn(lat, t, aux):
+        n, e_u_prev, cache = aux
         tb = jnp.broadcast_to(t.astype(jnp.float32), (b,))
         e_c, cache = jax.lax.cond(
-            i % dk == 0,
+            n % dk == 0,
             lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
                                deepcache=("full", split)),
             lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
                                deepcache=("shallow", split), cache=cache),
         )
         e_u = jax.lax.cond(
-            i % uk == 0,
+            n % uk == 0,
             lambda: unet.apply(unet_params, lat, tb, uncond_context,
                                cfg.unet),
             lambda: e_u_prev,
         )
         e_t = model_out_to_eps(
             ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
-        return (ddim.ddim_step(lat, e_t, a_t, a_prev), e_u, cache), None
+        return e_t, (n + 1, e_u, cache)
 
-    init = (latent, jnp.zeros_like(latent), cache0)
-    (latent, _, _), _ = jax.lax.scan(body, init, xs)
-    return latent
+    aux0 = (jnp.int32(0), jnp.zeros_like(latent), cache0)
+    return samplers.sample(model_fn, latent, num_steps, method=method,
+                           key=key, aux_init=aux0)
 
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method",
