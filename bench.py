@@ -194,6 +194,38 @@ def main():
     log(f"pipelined throughput: {n_tp} images in {total:.3f}s  "
         f"({pipelined_ips:.3f} img/s)")
 
+    # --- serving cold start: Engine time-to-first-image -----------------
+    # First Engine use in this process: compiles encode/inject/step/decode
+    # (persistent cache applies), then measures warm TTFI with the
+    # programs hot. Tracks the Router-per-family cold-start cost the
+    # round-4 verdict flagged as unbudgeted.
+    ttfi_cold = ttfi_warm = None
+    try:
+        from tinyfusers_tpu.serve import Engine
+
+        t0 = time.perf_counter()
+        eng = Engine(params, cfg, num_slots=1)
+        eng.submit(eng.make_request(np.asarray(ids[0]), np.asarray(uids[0]),
+                                    num_steps=steps, seed=0))
+        res = eng.run_until_idle()
+        ttfi_cold = time.perf_counter() - t0
+        assert len(res) == 1
+        eng.stats["first_submit_t"] = eng.stats["first_result_s"] = None
+        t0 = time.perf_counter()
+        eng.submit(eng.make_request(np.asarray(ids[0]), np.asarray(uids[0]),
+                                    num_steps=steps, seed=1))
+        res = eng.run_until_idle()
+        ttfi_warm = time.perf_counter() - t0
+        log(f"engine time-to-first-image: cold {ttfi_cold:.1f}s "
+            f"(jit warmup incl.), warm {ttfi_warm:.3f}s")
+    except Exception as e:  # noqa: BLE001 — observability, not the metric
+        log(f"engine TTFI measurement failed ({type(e).__name__}: {e})")
+
+    # vs_baseline provenance (round-4 advisor query, resolved from git):
+    # bench_baseline.json's 1.5774 img/s was recorded by the round-1
+    # harness's SERIAL loop (commit 2c201c1: generate -> np.asarray(img)
+    # each iteration, value = 1/p50 with p50 = 0.634 s), so dividing
+    # today's serial img/s by it is like-for-like.
     baseline_file = Path(__file__).parent / "bench_baseline.json"
     vs_serial = 1.0
     if baseline_file.exists():
@@ -215,6 +247,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "persistent_cache_new_entries": cache_new,
         "param_init_s": round(init_s, 1),
+        "engine_ttfi_cold_s": round(ttfi_cold, 2) if ttfi_cold else None,
+        "engine_ttfi_warm_s": round(ttfi_warm, 3) if ttfi_warm else None,
     }))
 
 

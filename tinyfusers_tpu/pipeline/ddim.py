@@ -16,6 +16,8 @@ step index, guidance is an array — no Python-scalar recompiles.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -32,9 +34,18 @@ def alphas_cumprod(
     return jnp.cumprod(1.0 - betas, axis=0)
 
 
+def ddim_timesteps_np(num_steps: int, n_training_steps: int = 1000) -> np.ndarray:
+    """Ascending ladder as host numpy — the single source of truth for
+    the timestep schedule (reference example/sd1.py:54 range()). The
+    serving engine's host-side scheduler and the device sampler both
+    derive from this function, so they cannot silently diverge."""
+    return np.arange(1, n_training_steps, n_training_steps // num_steps,
+                     dtype=np.int32)
+
+
 def ddim_timesteps(num_steps: int, n_training_steps: int = 1000) -> jax.Array:
     """Ascending ladder; the sampling loop consumes it reversed."""
-    return jnp.arange(1, n_training_steps, n_training_steps // num_steps, dtype=jnp.int32)
+    return jnp.asarray(ddim_timesteps_np(num_steps, n_training_steps))
 
 
 def ddim_alphas(num_steps: int):

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import ctypes
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -168,12 +168,20 @@ class Engine:
         num_slots: int = 4,
         prefer_native: bool = True,
         mesh=None,
+        stage_window: Optional[int] = None,
     ):
         """mesh: optional jax.sharding.Mesh (data, model). Slots shard
         over the data axis, params should already be TP-sharded
         (parallel.shard_params) over the model axis. For multi-host use,
         the scheduler's admissions must be identical on all processes
-        (parallel.distributed.sync_decision)."""
+        (parallel.distributed.sync_decision).
+
+        stage_window: how many queued requests may hold pre-dispatched
+        device state (CLIP context + initial latent) ahead of admission.
+        Default 2x num_slots — deep queues stage O(slots), not O(queue),
+        bounding HBM growth under bursty submitters while admissions
+        still never block on an encode round-trip (the next window is
+        topped up asynchronously as slots assign)."""
         self.params = params
         self.cfg = cfg
         self.S = num_slots
@@ -213,8 +221,16 @@ class Engine:
         self._requests: Dict[int, Request] = {}  # in-flight + queued only
         self._pending_decodes: List = []         # (rid, device image array)
         # rid -> (ctx2 (2,T,D) [uncond ‖ cond], lat0) device arrays,
-        # dispatched asynchronously at submit() time.
+        # dispatched asynchronously at submit() time — bounded to
+        # stage_window requests; the overflow stages lazily as slots
+        # free up (FIFO order matches the scheduler core's queue).
         self._staged: Dict[int, tuple] = {}
+        self._unstaged: List[int] = []
+        self.stage_window = (2 * num_slots if stage_window is None
+                             else stage_window)
+        # time-to-first-image observability (serving cold-start metric)
+        self.stats = {"submitted": 0, "completed": 0,
+                      "first_submit_t": None, "first_result_s": None}
 
         self._encode = jax.jit(
             lambda p, ids: sd.encode_text(p, ids, cfg)
@@ -280,18 +296,31 @@ class Engine:
     def submit(self, req: Request) -> int:
         self.core.submit(req.request_id, req.num_steps)
         self._requests[req.request_id] = req
+        if self.stats["first_submit_t"] is None:
+            import time
+
+            self.stats["first_submit_t"] = time.perf_counter()
+        self.stats["submitted"] += 1
         # Dispatch the CLIP encode ([uncond ‖ cond] in one batched call)
         # and the seeded initial latent NOW, asynchronously — by the time
         # the request is admitted they are ready (or still in flight; the
         # injection consumes them on-device either way, never blocking
-        # the tick on a host readback).
+        # the tick on a host readback). Staging is bounded: only the
+        # first stage_window queued requests hold device state; deeper
+        # queue entries stage as admissions drain the window.
+        if len(self._staged) < self.stage_window:
+            self._stage(req)
+        else:
+            self._unstaged.append(req.request_id)
+        return req.request_id
+
+    def _stage(self, req: Request) -> None:
         ids2 = jnp.stack([jnp.asarray(req.uncond_ids),
                           jnp.asarray(req.prompt_ids)], axis=0)
         ctx2 = self._encode(self.params, ids2)
         lat0 = jax.random.normal(
             jax.random.key(req.seed), self.cfg.latent_shape, self._dtype)
         self._staged[req.request_id] = (ctx2, lat0)
-        return req.request_id
 
     def reset(self) -> None:
         """Drop all queued/in-flight state but KEEP the compiled programs
@@ -304,6 +333,7 @@ class Engine:
         self._requests.clear()
         self._pending_decodes.clear()
         self._staged.clear()
+        self._unstaged.clear()
         self.guidance[:] = 0.0
 
     def make_request(self, prompt_ids, uncond_ids, *, num_steps=20,
@@ -315,11 +345,11 @@ class Engine:
 
     def _ladder(self, num_steps: int) -> np.ndarray:
         if num_steps not in self._ladders:
-            # host-side numpy mirror of ddim.ddim_timesteps — the ladder
-            # feeds host scheduling (per-slot t/alpha lookups), so keep
-            # even its one-time construction off the device
-            self._ladders[num_steps] = np.arange(
-                1, 1000, 1000 // num_steps, dtype=np.int32)
+            # Shared pure-numpy schedule (ddim.ddim_timesteps_np) — one
+            # source of truth with the device sampler's ladder; feeds
+            # host scheduling (per-slot t/alpha lookups) so even its
+            # one-time construction stays off the device.
+            self._ladders[num_steps] = ddim.ddim_timesteps_np(num_steps)
         return self._ladders[num_steps]
 
     def step(self) -> List[Result]:
@@ -335,9 +365,18 @@ class Engine:
             req = self._requests[rid]
             self._steps_total[slot] = steps
             self.guidance[slot] = req.guidance
+            if rid not in self._staged:  # beyond the window: stage now
+                self._unstaged.remove(rid)
+                self._stage(req)
             ctx2, lat0 = self._staged.pop(rid)
             self.latents, self.contexts = self._inject(
                 self.latents, self.contexts, jnp.int32(slot), lat0, ctx2)
+        # Top the window back up (async dispatch, FIFO) so the NEXT
+        # admissions find their encodes already in flight.
+        while self._unstaged and len(self._staged) < self.stage_window:
+            nxt = self._unstaged.pop(0)
+            if nxt in self._requests:
+                self._stage(self._requests[nxt])
 
         # Per-slot (t, a_t, a_prev) from remaining counts; inactive slots
         # get harmless identity values (a_t = a_prev = 1).
@@ -391,6 +430,12 @@ class Engine:
                 ready = is_ready() if callable(is_ready) else True
             if ready:
                 done.append(Result(rid, _to_host(img)))
+                if self.stats["first_result_s"] is None:
+                    import time
+
+                    self.stats["first_result_s"] = (
+                        time.perf_counter() - self.stats["first_submit_t"])
+                self.stats["completed"] += 1
             else:
                 still.append((rid, img))
         self._pending_decodes = still
