@@ -78,12 +78,56 @@ class TestControlNet:
         assert len(res) == len(inp)
         assert mid.shape == res[-1].shape
 
-    def test_rejects_cache_composition(self):
+    @pytest.mark.parametrize("method", ["ddim", "euler"])
+    @pytest.mark.parametrize("kw", [
+        {"uncond_interval": 2},
+        {"deepcache_interval": 2, "deepcache_split": 1},
+        {"deepcache_interval": 2, "deepcache_split": 1,
+         "uncond_interval": 2},
+    ], ids=["cached_cfg", "deepcache", "both"])
+    def test_cache_composition_zero_control_matches_plain(self, method, kw):
+        """ControlNet composes with cached-CFG/DeepCache (round-4 verdict
+        item 3). With a zero-init (exact no-op) ControlNet, the composed
+        path must equal the same cached approximation WITHOUT control,
+        bit-for-bit — proving the residual plumbing adds nothing but the
+        residuals, under ddim and a sigma-space sampler."""
         cfg, params, cn, ids, uids, lat, hint = setup_tiny()
-        with pytest.raises(ValueError):
-            sd.generate(params, ids, uids, lat, jnp.float32(5.0),
-                        num_steps=2, cfg=cfg, control=(cn, hint, 1.0),
-                        uncond_interval=2)
+        plain = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                            num_steps=4, cfg=cfg, method=method, **kw)
+        ctrl = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                           num_steps=4, cfg=cfg, method=method,
+                           control=(cn, hint, 1.0), **kw)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(ctrl))
+
+    def test_cache_composition_nonzero_control_steers(self):
+        """Non-neutral control must still steer the cached paths, and the
+        composed image should approximate the exact controlled image
+        (same-ballpark PSNR, like cached-CFG/DeepCache without control)."""
+        cfg, params, cn, ids, uids, lat, hint = setup_tiny()
+        cn["zero_convs"] = [
+            {"weight": jnp.full_like(z["weight"], 0.05),
+             "bias": z["bias"]} for z in cn["zero_convs"]]
+        cn["middle_out"] = {
+            "weight": jnp.full_like(cn["middle_out"]["weight"], 0.05),
+            "bias": cn["middle_out"]["bias"]}
+        exact = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                            num_steps=4, cfg=cfg, control=(cn, hint, 1.0))
+        base_cached = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                                  num_steps=4, cfg=cfg,
+                                  deepcache_interval=2, deepcache_split=1,
+                                  uncond_interval=2)
+        composed = sd.generate(params, ids, uids, lat, jnp.float32(5.0),
+                               num_steps=4, cfg=cfg, control=(cn, hint, 1.0),
+                               deepcache_interval=2, deepcache_split=1,
+                               uncond_interval=2)
+        composed = np.asarray(composed)
+        # control steers the cached path...
+        assert not np.array_equal(composed, np.asarray(base_cached))
+        # ...toward the exact controlled image (closer than no-control is)
+        def mse(a, b):
+            return float(np.mean((np.asarray(a, np.float64)
+                                  - np.asarray(b, np.float64)) ** 2))
+        assert mse(composed, exact) < mse(base_cached, exact)
 
 
 class TestControlNetStateMap:

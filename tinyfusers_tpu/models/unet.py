@@ -384,7 +384,13 @@ def apply(
     control: optional (skip_residuals, middle_residual) from
     models/controlnet.apply — each skip residual is added to its skip
     tensor as it is popped, the middle residual after the middle block
-    (the original ControlledUnetModel wiring, cldm/cldm.py).
+    (the original ControlledUnetModel wiring, cldm/cldm.py). In
+    deepcache 'shallow' mode only the first m skips exist, so control
+    may instead be just a sequence of (at least) the first m skip
+    residuals — typically the CACHED residuals from the last full pass
+    (pipeline/sd.py refreshes them on full calls and reuses them on
+    shallow calls via the sampler aux state); the middle residual is
+    baked into ``cache`` already.
 
     deepcache: DeepCache-style deep-feature reuse (Ma et al. 2023 — the
     deep U-Net features drift slowly across adjacent denoise steps).
@@ -425,6 +431,12 @@ def apply(
         for p, block in zip(params["input"][:m], inp[:m]):
             x = _run_block(p, block, x, emb, context, cfg)
             skips.append(x)
+        if control is not None:
+            ctrl_skips = (control[0] if (isinstance(control, tuple)
+                                         and len(control) == 2)
+                          else control)
+            skips = [s + c.astype(s.dtype)
+                     for s, c in zip(skips, ctrl_skips)]
         x = cache
         for p, block in zip(params["output"][-m:], outp[-m:]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)

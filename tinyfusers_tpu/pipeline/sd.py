@@ -189,7 +189,10 @@ def sample_latents(
     control: optional (controlnet_params, hint, control_scale) — runs
     models/controlnet.py every step and feeds its residuals into the
     UNet (ControlNet spatial conditioning). hint is (B, H, W, 3) in
-    [0, 1] at full image resolution.
+    [0, 1] at full image resolution. Composes with cached CFG and
+    DeepCache: residuals refresh on full-pass network calls and are
+    reused from the sampler aux state on shallow/cached calls (see
+    _sample_deepcache / _sample_deepcache_cached_cfg).
 
     method: any of pipeline.samplers.SAMPLERS ("ddim", "euler",
     "euler_ancestral", "heun", "dpmpp_2m", "dpmpp_2s_ancestral").
@@ -222,11 +225,8 @@ def sample_latents(
             "guidance-free sampling (uncond_context=None) does not compose "
             "with cached-CFG/DeepCache intervals — there is no uncond "
             "branch to cache")
-    if control is not None and (deepcache_interval > 1 or uncond_interval > 1):
-        raise ValueError(
-            "ControlNet sampling does not compose with cached-CFG/DeepCache "
-            "yet — residuals would go stale with the cached branches")
 
+    control_enc = None
     if control is not None:
         from ..models import controlnet as cn_model
 
@@ -234,16 +234,24 @@ def sample_latents(
         # hint features are loop-invariant: run the image-resolution conv
         # ladder ONCE here, outside the sampling scan, not per step
         guided = cn_model.encode_hint(cn_params, hint)
+        control_enc = (cn_params, guided, cscale)
+
+    def ctrl_for(lat_, t_, ctx_):
+        """Fresh control residuals at this (latent, t) — (skips, mid)."""
+        from ..models import controlnet as cn_model
+
+        cn_params_, guided_, cscale_ = control_enc
+        bb = lat_.shape[0]
+        guided_b = jnp.broadcast_to(
+            guided_.astype(lat_.dtype), (bb, *guided_.shape[1:]))
+        return cn_model.apply(cn_params_, lat_, None, t_, ctx_, cfg.unet,
+                              scale=cscale_, hint_features=guided_b)
 
     def unet_apply(p_, lat_, t_, ctx_):
         if control is None:
             return unet.apply(p_, lat_, t_, ctx_, cfg.unet)
-        bb = lat_.shape[0]
-        guided_b = jnp.broadcast_to(
-            guided.astype(lat_.dtype), (bb, *guided.shape[1:]))
-        ctrl = cn_model.apply(cn_params, lat_, None, t_, ctx_, cfg.unet,
-                              scale=cscale, hint_features=guided_b)
-        return unet.apply(p_, lat_, t_, ctx_, cfg.unet, control=ctrl)
+        return unet.apply(p_, lat_, t_, ctx_, cfg.unet,
+                          control=ctrl_for(lat_, t_, ctx_))
 
     if deepcache_interval > 1:
         if uncond_interval > 1:
@@ -256,12 +264,14 @@ def sample_latents(
                 num_steps=num_steps, guidance=guidance, cfg=cfg,
                 dk=deepcache_interval, split=deepcache_split,
                 uk=uncond_interval, method=method, key=key,
+                ctrl_for=ctrl_for if control_enc else None,
             )
         return _sample_deepcache(
             unet_params, latent, context, uncond_context,
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
             method=method, key=key,
+            ctrl_for=ctrl_for if control_enc else None,
         )
 
     if uncond_context is None:
@@ -312,95 +322,135 @@ def sample_latents(
 def _sample_deepcache(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
-    method: str = "ddim", key=None,
+    method: str = "ddim", key=None, ctrl_for=None,
 ):
     """CFG sampling with DeepCache under ANY sampler: full UNet every
     ``interval``-th network call, shallow (first/last ``split`` blocks +
     cached deep feature) between — the deep-feature cache rides the
-    sampler aux state exactly like cached CFG."""
+    sampler aux state exactly like cached CFG.
+
+    ctrl_for: optional (lat, t, ctx) -> (skips, mid) ControlNet residual
+    fn. Residuals are REFRESHED on every full pass (and applied to all
+    skips + middle as usual); the first ``split`` skip residuals are
+    cached in the aux state and reused on shallow passes (the deep
+    residuals' effect is already baked into the cached deep feature)."""
     from . import samplers
 
     b = latent.shape[0]
     context2 = jnp.concatenate([uncond_context, context], axis=0)
 
-    def full(lat2, t2, cache):
+    def full(lat2, t2, cache, ctrl_cache):
+        if ctrl_for is None:
+            eps, cache_new = unet.apply(
+                unet_params, lat2, t2, context2, cfg.unet,
+                deepcache=("full", split))
+            return eps, cache_new, ctrl_cache
+        ctrl = ctrl_for(lat2, t2, context2)
         eps, cache_new = unet.apply(
             unet_params, lat2, t2, context2, cfg.unet,
-            deepcache=("full", split))
-        return eps, cache_new
+            deepcache=("full", split), control=ctrl)
+        return eps, cache_new, tuple(ctrl[0][:split])
 
-    def shallow(lat2, t2, cache):
-        return unet.apply(
+    def shallow(lat2, t2, cache, ctrl_cache):
+        eps, cache = unet.apply(
             unet_params, lat2, t2, context2, cfg.unet,
-            deepcache=("shallow", split), cache=cache)
+            deepcache=("shallow", split), cache=cache,
+            control=ctrl_cache if ctrl_for is not None else None)
+        return eps, cache, ctrl_cache
 
-    # Cache shape/dtype comes from tracing the full pass without running it.
+    # Cache shapes/dtypes come from tracing the full pass without running it.
     lat2_s = jax.eval_shape(
         lambda l: jnp.concatenate([l, l], axis=0), latent)
     t2_s = jax.ShapeDtypeStruct((2 * b,), jnp.float32)
-    cache_s = jax.eval_shape(
-        lambda l2, t2: full(l2, t2, None)[1], lat2_s, t2_s)
+    cache_s, ctrl_s = jax.eval_shape(
+        lambda l2, t2: full(l2, t2, None, ())[1:], lat2_s, t2_s)
     cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
+    ctrl0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), ctrl_s)
 
     def model_fn(lat, t, aux):
-        n, cache = aux
+        n, cache, ctrl_cache = aux
         lat2 = jnp.concatenate([lat, lat], axis=0)
         t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
-        eps, cache = jax.lax.cond(
+        eps, cache, ctrl_cache = jax.lax.cond(
             n % interval == 0,
-            lambda: full(lat2, t2, cache),
-            lambda: shallow(lat2, t2, cache),
+            lambda: full(lat2, t2, cache, ctrl_cache),
+            lambda: shallow(lat2, t2, cache, ctrl_cache),
         )
         e_t = model_out_to_eps(
             ddim.cfg_combine(eps[:b], eps[b:], guidance), lat, t, cfg)
-        return e_t, (n + 1, cache)
+        return e_t, (n + 1, cache, ctrl_cache)
 
     return samplers.sample(model_fn, latent, num_steps, method=method,
-                           key=key, aux_init=(jnp.int32(0), cache0))
+                           key=key, aux_init=(jnp.int32(0), cache0, ctrl0))
 
 
 def _sample_deepcache_cached_cfg(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
-    method: str = "ddim", key=None,
+    method: str = "ddim", key=None, ctrl_for=None,
 ):
     """DeepCache on the cond branch + cached CFG on the uncond branch
     (cond and uncond run as separate B-batches here, unlike the
     batched-2B paths), composable with any sampler via the aux state.
-    Cost per network call ~ shallow(B) + full(B)/uk."""
+    Cost per network call ~ shallow(B) + full(B)/uk.
+
+    ctrl_for: optional ControlNet residual fn (see _sample_deepcache).
+    The cond branch refreshes residuals on its full passes and reuses
+    the cached first-``split`` skips on shallow passes; the uncond
+    branch computes fresh residuals on its (full-UNet) refresh calls —
+    its cached output already embeds them between refreshes."""
     from . import samplers
 
     b = latent.shape[0]
+
+    def cond_full(lat, tb, cache, ctrl_cache):
+        if ctrl_for is None:
+            eps, cache_new = unet.apply(unet_params, lat, tb, context,
+                                        cfg.unet, deepcache=("full", split))
+            return eps, cache_new, ctrl_cache
+        ctrl = ctrl_for(lat, tb, context)
+        eps, cache_new = unet.apply(unet_params, lat, tb, context, cfg.unet,
+                                    deepcache=("full", split), control=ctrl)
+        return eps, cache_new, tuple(ctrl[0][:split])
+
+    def cond_shallow(lat, tb, cache, ctrl_cache):
+        eps, cache = unet.apply(
+            unet_params, lat, tb, context, cfg.unet,
+            deepcache=("shallow", split), cache=cache,
+            control=ctrl_cache if ctrl_for is not None else None)
+        return eps, cache, ctrl_cache
+
+    def uncond_full(lat, tb):
+        ctrl = (ctrl_for(lat, tb, uncond_context)
+                if ctrl_for is not None else None)
+        return unet.apply(unet_params, lat, tb, uncond_context, cfg.unet,
+                          control=ctrl)
+
     lat_s = jax.eval_shape(lambda l: l, latent)
     t_s = jax.ShapeDtypeStruct((b,), jnp.float32)
-    ctx_s = jax.eval_shape(lambda c: c, context)
-    cache_s = jax.eval_shape(
-        lambda l, t, c: unet.apply(unet_params, l, t, c, cfg.unet,
-                                   deepcache=("full", split))[1],
-        lat_s, t_s, ctx_s)
+    cache_s, ctrl_s = jax.eval_shape(
+        lambda l, t: cond_full(l, t, None, ())[1:], lat_s, t_s)
     cache0 = jnp.zeros(cache_s.shape, cache_s.dtype)
+    ctrl0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), ctrl_s)
 
     def model_fn(lat, t, aux):
-        n, e_u_prev, cache = aux
+        n, e_u_prev, cache, ctrl_cache = aux
         tb = jnp.broadcast_to(t.astype(jnp.float32), (b,))
-        e_c, cache = jax.lax.cond(
+        e_c, cache, ctrl_cache = jax.lax.cond(
             n % dk == 0,
-            lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
-                               deepcache=("full", split)),
-            lambda: unet.apply(unet_params, lat, tb, context, cfg.unet,
-                               deepcache=("shallow", split), cache=cache),
+            lambda: cond_full(lat, tb, cache, ctrl_cache),
+            lambda: cond_shallow(lat, tb, cache, ctrl_cache),
         )
         e_u = jax.lax.cond(
             n % uk == 0,
-            lambda: unet.apply(unet_params, lat, tb, uncond_context,
-                               cfg.unet),
+            lambda: uncond_full(lat, tb),
             lambda: e_u_prev,
         )
         e_t = model_out_to_eps(
             ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
-        return e_t, (n + 1, e_u, cache)
+        return e_t, (n + 1, e_u, cache, ctrl_cache)
 
-    aux0 = (jnp.int32(0), jnp.zeros_like(latent), cache0)
+    aux0 = (jnp.int32(0), jnp.zeros_like(latent), cache0, ctrl0)
     return samplers.sample(model_fn, latent, num_steps, method=method,
                            key=key, aux_init=aux0)
 
