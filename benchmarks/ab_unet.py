@@ -29,11 +29,28 @@ def main():
     p.add_argument("--n", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--ff-kernel", action="store_true",
+                   help="route the FF tail through the Pallas fused "
+                        "GEGLU->projection kernel (kernels/geglu_ff.py)")
+    p.add_argument("--ff-blocks", default=None,
+                   help="bm,bk,nsub override for the FF kernel, e.g. "
+                        "'512,1280,2'")
     args = p.parse_args()
 
     import bench as B
     from tinyfusers_tpu.models import unet
+    from tinyfusers_tpu.ops import policy
     from tinyfusers_tpu.pipeline import sd
+
+    if args.ff_kernel:
+        policy.set_ff_kernel(True)
+    if args.ff_blocks:
+        from tinyfusers_tpu.kernels import geglu_ff
+
+        bm, bk, ns = (int(v) for v in args.ff_blocks.split(","))
+        orig = geglu_ff.geglu_matmul
+        geglu_ff.geglu_matmul = lambda gx, gate, w, b=None: orig(
+            gx, gate, w, b, block_m=bm, block_k=bk, nsub=ns)
 
     cfg = sd.SD15
     params = B.fast_random_params(cfg, jnp.bfloat16)["unet"]

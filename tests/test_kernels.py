@@ -284,3 +284,113 @@ class TestFlashGradients:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-4, rtol=2e-3)
+
+
+class TestGegluFF:
+    def _ref(self, gx, gate, w, b):
+        from tinyfusers_tpu import ops
+
+        return ops.linear(ops.geglu(gx, gate), w, b)
+
+    @pytest.mark.parametrize("m,kdim,n", [
+        (300, 256, 128),     # unaligned M, padded N path
+        (128, 1280, 320),    # SD1.5 64x64 FF-out geometry (scaled M)
+        (64, 2560, 640),     # SD1.5 32x32 family (multi-k-block)
+    ])
+    def test_matches_geglu_linear(self, m, kdim, n):
+        from tinyfusers_tpu.kernels.geglu_ff import geglu_matmul
+
+        gx = jax.random.normal(jax.random.key(0), (m, kdim), jnp.float32)
+        gate = jax.random.normal(jax.random.key(1), (m, kdim), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (kdim, n),
+                              jnp.float32) / np.sqrt(kdim)
+        b = jax.random.normal(jax.random.key(3), (n,), jnp.float32)
+        want = self._ref(gx, gate, w, b)
+        got = geglu_matmul(gx, gate, w, b, block_m=128, block_k=640,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_leading_dims_and_no_bias(self):
+        from tinyfusers_tpu.kernels.geglu_ff import geglu_matmul
+
+        gx = jax.random.normal(jax.random.key(0), (2, 96, 128), jnp.float32)
+        gate = jax.random.normal(jax.random.key(1), (2, 96, 128), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (128, 64), jnp.float32)
+        want = self._ref(gx, gate, w, None)
+        got = geglu_matmul(gx, gate, w, interpret=True)
+        assert got.shape == (2, 96, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_bfloat16(self):
+        from tinyfusers_tpu.kernels.geglu_ff import geglu_matmul
+
+        gx = jax.random.normal(jax.random.key(0), (64, 256), jnp.bfloat16)
+        gate = jax.random.normal(jax.random.key(1), (64, 256), jnp.bfloat16)
+        w = (jax.random.normal(jax.random.key(2), (256, 128))
+             / 16.0).astype(jnp.bfloat16)
+        want = self._ref(gx, gate, w, None)
+        got = geglu_matmul(gx, gate, w, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=0.125, rtol=0.06)
+
+    def test_ops_dispatch_kernel_path(self, monkeypatch):
+        """ops.geglu_linear routes through the (interpreted) kernel when
+        the policy is on, and matches the XLA fallback."""
+        import functools as ft
+
+        import importlib
+
+        import tinyfusers_tpu.kernels.geglu_ff as gf
+        from tinyfusers_tpu import ops
+        from tinyfusers_tpu.ops import policy
+
+        # ops.__init__ re-exports the *function* `linear`, shadowing the
+        # submodule attribute — resolve the module explicitly
+        linear_mod = importlib.import_module("tinyfusers_tpu.ops.linear")
+
+        gx = jax.random.normal(jax.random.key(0), (32, 128), jnp.float32)
+        gate = jax.random.normal(jax.random.key(1), (32, 128), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (128, 64), jnp.float32)
+        b = jnp.zeros((64,))
+        want = ops.geglu_linear(gx, gate, w, b)  # policy off: XLA path
+
+        monkeypatch.setattr(policy, "_ff_kernel", True)
+        monkeypatch.setattr(linear_mod, "_on_tpu", lambda: True)
+        orig = gf.geglu_matmul
+        monkeypatch.setattr(gf, "geglu_matmul",
+                            ft.partial(orig, interpret=True))
+        got = ops.geglu_linear(gx, gate, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_grad_matches_xla(self, monkeypatch):
+        """geglu_matmul_diff (Pallas fwd / XLA bwd): gradients must match
+        differentiating the plain XLA geglu+linear composition."""
+        import functools as ft
+
+        import tinyfusers_tpu.kernels.geglu_ff as gf
+        from tinyfusers_tpu import ops
+
+        monkeypatch.setattr(gf, "geglu_matmul",
+                            ft.partial(gf.geglu_matmul, interpret=True))
+        gx = jax.random.normal(jax.random.key(0), (32, 128), jnp.float32)
+        gate = jax.random.normal(jax.random.key(1), (32, 128), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (128, 64),
+                              jnp.float32) / 11.3
+        b = jax.random.normal(jax.random.key(3), (64,), jnp.float32)
+
+        def loss_k(gx, gate, w, b):
+            return jnp.sum(gf.geglu_matmul_diff(gx, gate, w, b) ** 2)
+
+        def loss_x(gx, gate, w, b):
+            return jnp.sum(ops.linear(ops.geglu(gx, gate), w, b) ** 2)
+
+        g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3))(gx, gate, w, b)
+        g2 = jax.grad(loss_x, argnums=(0, 1, 2, 3))(gx, gate, w, b)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-3, rtol=2e-2)

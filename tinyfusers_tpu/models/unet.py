@@ -321,8 +321,10 @@ def _transformer_block_apply(p, x, context, num_heads: int, self_impl=None):
     h = ops.layer_norm(x, p["norm3"]["weight"], p["norm3"]["bias"])
     h = ops.linear(h, p["ff"]["proj"]["weight"], p["ff"]["proj"]["bias"])
     gx, gate = jnp.split(h, 2, axis=-1)
-    h = ops.geglu(gx, gate)
-    h = ops.linear(h, p["ff"]["out"]["weight"], p["ff"]["out"]["bias"])
+    # geglu_linear: FF tail as one op — the Pallas fused kernel under the
+    # measured policy, else geglu fused into the GEMM feed by XLA
+    h = ops.geglu_linear(gx, gate, p["ff"]["out"]["weight"],
+                         p["ff"]["out"]["bias"])
     return x + h
 
 

@@ -80,3 +80,35 @@ def linear(
     if b is not None:
         y = y + b.astype(acc)
     return y.astype(compute_dtype)
+
+
+def geglu_linear(
+    gx: jax.Array,
+    gate: jax.Array,
+    w,
+    b: Optional[jax.Array] = None,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """The transformer FF tail: (gx * gelu_erf(gate)) @ w + b.
+
+    Dispatches to the Pallas fused kernel (kernels/geglu_ff.py) on TPU
+    when the measured policy enables it (ops.policy.ff_kernel); falls
+    back to ops.geglu + linear (XLA fuses the GELU into the GEMM feed).
+    Only plain (non-quantized) 2D weights take the kernel path.
+    """
+    from .activations import geglu
+    from .policy import ff_kernel
+
+    if (ff_kernel() and _on_tpu() and isinstance(w, jax.Array)
+            and w.ndim == 2):
+        from ..kernels.geglu_ff import geglu_matmul_diff
+
+        if compute_dtype is None:
+            compute_dtype = gx.dtype
+        if b is None:
+            b = jnp.zeros((w.shape[1],), jnp.float32)
+        return geglu_matmul_diff(gx.astype(compute_dtype),
+                                 gate.astype(compute_dtype),
+                                 w.astype(compute_dtype), b)
+    return linear(geglu(gx, gate), w, b, compute_dtype=compute_dtype)

@@ -65,3 +65,21 @@ def set_conv_gemm(on: bool) -> None:
 
 def conv_gemm() -> bool:
     return _conv_gemm
+
+
+_ff_kernel = os.environ.get("TINYFUSERS_FF_KERNEL", "1") not in ("0", "", "false")
+
+
+def set_ff_kernel(on: bool) -> None:
+    """Route the transformer FF tail (GEGLU -> out-projection) through
+    the Pallas fused kernel (kernels/geglu_ff.py) instead of XLA's
+    gelu-fused GEMM. Default ON: the round-5 whole-model A/B on v5e
+    measured -3.3% UNet fwd (16.68 vs 17.26 ms back-to-back; every
+    kernel config beat the XLA path across 8 runs — BASELINE.md
+    round-5 FF-kernel section). TINYFUSERS_FF_KERNEL=0 reverts."""
+    global _ff_kernel
+    _ff_kernel = on
+
+
+def ff_kernel() -> bool:
+    return _ff_kernel
