@@ -394,3 +394,99 @@ class TestGegluFF:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=5e-3, rtol=2e-2)
+
+
+class TestPackedMultiK:
+    """Multi-k-block heads-packed kernel (SD3 joint-attention geometry:
+    key sequence too big for one VMEM block, per-head scratch stats)."""
+
+    @pytest.mark.parametrize("b,s,h,d,bk", [
+        (1, 1200, 4, 64, 512),   # padded tail k block (sk_real masking)
+        (2, 1024, 2, 64, 256),   # clean multiple, multi-batch
+    ])
+    def test_matches_bhsd_reference(self, b, s, h, d, bk):
+        from tinyfusers_tpu.kernels.flash_attention import \
+            _flash_packed_multik
+
+        q, k, v = (rand(i, b, s, h * d) for i in range(3))
+        unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+        want = sdpa_xla(unpack(q), unpack(k), unpack(v))
+        want = want.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        got = _flash_packed_multik(q, k, v, heads=h, scale=None,
+                                   block_q=128, block_k=bk, interpret=True)
+        assert got.shape == (b, s, h * d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_dispatch_from_flash_attention(self):
+        """flash_attention(layout='packed') falls through to the multi-k
+        kernel for geometries packed_ok rejects but multik accepts."""
+        from tinyfusers_tpu.kernels import flash_attention as fa
+
+        b, s, h, d = 1, 1024, 24, 64   # c=1536 > single-block budget
+        c = h * d
+        assert not fa.packed_ok(s, s, c, h, 2)
+        assert fa.packed_multik_ok(s, s, c, h, 2)
+        q = rand(0, b, s, c).astype(jnp.bfloat16)
+        got = fa.flash_attention(q, q, q, layout="packed", heads=h,
+                                 block_q=128, block_k=512, interpret=True)
+        unpack = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+        want = sdpa_xla(unpack(q), unpack(q), unpack(q))
+        want = want.transpose(0, 2, 1, 3).reshape(b, s, c)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=0.05, rtol=0.05)
+
+
+class TestKvLen:
+    """kv_len: caller-side pre-padded key sequences are masked in the
+    kernel (MMDiT folds its joint-sequence pad into the stream concat)."""
+
+    def test_bhsd_kv_len_matches_unpadded(self):
+        bh, sq, d = 2, 256, 64
+        q = rand(0, bh, sq, d)
+        k, v = rand(1, bh, 200, d), rand(2, bh, 200, d)
+        kp = jnp.pad(k, ((0, 0), (0, 56), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 56), (0, 0)))
+        want = sdpa_xla(q, k, v)
+        got = flash_attention(q, kp, vp, kv_len=200, block_q=128,
+                              block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_sdpa_xla_fallback_kv_len(self):
+        from tinyfusers_tpu.ops.attention import sdpa
+
+        bh, sq, d = 1, 128, 32
+        q = rand(0, bh, sq, d)
+        k, v = rand(1, bh, 100, d), rand(2, bh, 100, d)
+        kp = jnp.pad(k, ((0, 0), (0, 28), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 28), (0, 0)))
+        want = sdpa_xla(q, k, v)
+        got = sdpa(q, kp, vp, impl="xla", kv_len=100)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    def test_bhsd_diff_kv_len_grads_zero_on_pad(self, monkeypatch):
+        import functools as ft
+
+        import tinyfusers_tpu.kernels.flash_attention as fa
+        from tinyfusers_tpu.ops import attention as att
+
+        monkeypatch.setattr(
+            fa, "flash_attention",
+            ft.partial(fa.flash_attention.__wrapped__, interpret=True,
+                       block_q=128, block_k=128))
+        bh, sq, d = 1, 128, 32
+        q = rand(0, bh, sq, d)
+        kp = jnp.pad(rand(1, bh, 100, d), ((0, 0), (0, 28), (0, 0)))
+        vp = jnp.pad(rand(2, bh, 100, d), ((0, 0), (0, 28), (0, 0)))
+
+        def loss(q_, k_, v_):
+            return jnp.sum(att._flash_bhsd_diff(q_, k_, v_, None, 100) ** 2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, kp, vp)
+        # padded key rows must receive exactly zero gradient
+        np.testing.assert_array_equal(np.asarray(dk[:, 100:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(dv[:, 100:]), 0.0)
+        assert float(jnp.sum(jnp.abs(dk[:, :100]))) > 0

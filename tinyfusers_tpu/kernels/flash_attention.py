@@ -169,6 +169,65 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *,
         o_ref[0, :, hh * d:(hh + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
+def _kernel_packed_multik(q_ref, k_ref, v_ref, o_ref, *scratch,
+                          sk_real: int, block_k: int, block_q: int,
+                          heads: int, d: int, nk: int):
+    """Multi-k-block heads-packed kernel (round-5, built for SD3's joint
+    attention: c=1536 exceeds the single-block VMEM budget).
+
+    Per-head online-softmax statistics live in SEPARATE scratch buffers
+    (``scratch`` is H m-refs, then H l-refs, then H acc-refs): each
+    head's running max/denominator/accumulator is a full-buffer RMW —
+    NOT the lane-sliced RMW of one wide stats buffer that measured 2x
+    slower in round 3. Head tiles are static lane slices of the packed
+    blocks like _kernel_packed."""
+    j = pl.program_id(2)
+    m_s = scratch[:heads]
+    l_s = scratch[heads:2 * heads]
+    acc_s = scratch[2 * heads:]
+    pad_cols = nk * block_k != sk_real
+    qf = q_ref[0]  # (block_q, H*d), prescaled by scale*log2(e)
+    kf = k_ref[0]  # (block_k, H*d)
+    vf = v_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        for hh in range(heads):
+            m_s[hh][:] = jnp.full_like(m_s[hh], NEG_INF)
+            l_s[hh][:] = jnp.zeros_like(l_s[hh])
+            acc_s[hh][:] = jnp.zeros_like(acc_s[hh])
+
+    for hh in range(heads):
+        q = qf[:, hh * d:(hh + 1) * d]
+        k = kf[:, hh * d:(hh + 1) * d]
+        v = vf[:, hh * d:(hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if pad_cols:
+            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < sk_real, s, NEG_INF)
+        m_prev = m_s[hh][:]
+        l_prev = l_s[hh][:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        correction = jnp.exp2(m_prev - m_new)
+        l_s[hh][:] = correction * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[hh][:] = acc_s[hh][:] * correction + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_s[hh][:] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        for hh in range(heads):
+            l = l_s[hh][:]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, :, hh * d:(hh + 1) * d] = (
+                acc_s[hh][:] / l).astype(o_ref.dtype)
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % mult
@@ -223,11 +282,69 @@ def packed_ok(sq: int, sk: int, channels: int, heads: int,
     return sk_pad * channels * itemsize <= 6 * 1024 * 1024
 
 
+def packed_multik_ok(sq: int, sk: int, channels: int, heads: int,
+                     itemsize: int = 2) -> bool:
+    """Whether the multi-k-block heads-packed kernel applies: key
+    sequence too large for one VMEM block, but per-k-step kv blocks +
+    per-head stats fit the raised (64 MB) VMEM cap. Built for SD3's
+    joint attention ((2, 4173, 24x64) bf16) — the bhsd fallback there
+    paid ~11 ms/forward of head-transpose relayout copies."""
+    if channels % heads:
+        return False
+    d = channels // heads
+    if d % 8 or d < 32:
+        return False  # head slices must stay sublane-tileable
+    if channels * itemsize > 4096:
+        return False  # kv block DMA budget (c up to 2048 at bf16)
+    return sq >= 1024 and sk >= 1024
+
+
+def _flash_packed_multik(q, k, v, *, heads, scale, block_q, block_k,
+                         interpret, kv_len=None):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    sk_real = kv_len if kv_len is not None else sk
+    d = c // heads
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+    bq = min(block_q or 256, max(8, sq))
+    # kv blocks ~4.3 MB each at SD3 geometry: 1408 lanes x 1536 ch bf16.
+    # 128-multiple; fewer k steps = fewer online corrections.
+    bk = min(block_k or 1408, -(-max(sk, 128) // 128) * 128)
+    q3 = _pad_to(qs, 1, bq)
+    k3 = _pad_to(k, 1, bk)
+    v3 = _pad_to(v, 1, bk)
+    nq = q3.shape[1] // bq
+    nk = k3.shape[1] // bk
+    scratch = ([pltpu.VMEM((bq, 1), jnp.float32)] * heads
+               + [pltpu.VMEM((bq, 1), jnp.float32)] * heads
+               + [pltpu.VMEM((bq, d), jnp.float32)] * heads)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_packed_multik, sk_real=sk_real, block_k=bk, block_q=bq,
+            heads=heads, d=d, nk=nk),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bk, c), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, c), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out[:, :sq]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "interpret",
-        "layout", "heads",
+        "layout", "heads", "kv_len",
     ),
 )
 def flash_attention(
@@ -243,6 +360,7 @@ def flash_attention(
     interpret: bool = False,
     layout: str = "bhsd",
     heads: Optional[int] = None,
+    kv_len: Optional[int] = None,
 ) -> jax.Array:
     """softmax(scale * q @ k^T [+ causal]) @ v, blockwise.
 
@@ -252,12 +370,20 @@ def flash_attention(
     activations go straight in and out (no head-transpose relayouts);
     requires packed_ok() geometry (whole key sequence in one k block).
 
+    kv_len: number of REAL keys when the caller passes k/v already
+    padded on the token axis (the softmax masks columns >= kv_len).
+    Lets callers fold padding into an upstream concat (e.g. MMDiT's
+    joint [img ‖ txt ‖ zeros] sequence) instead of paying a separate
+    HBM pad + unpad-slice around the kernel.
+
     Explicit ``mask`` arrays are not supported here (use ops.sdpa_xla);
     ``causal=True`` covers the causal-mask case without materializing
     one. block_q/block_k default to shape-tuned values (_default_blocks).
     """
     if mask is not None:
         raise ValueError("flash_attention: use causal=, not explicit masks")
+    if kv_len is not None and kv_len > k.shape[-2]:
+        raise ValueError(f"kv_len={kv_len} exceeds key length {k.shape[-2]}")
     if layout == "packed":
         if q.ndim != 3 or heads is None:
             raise ValueError(
@@ -267,10 +393,17 @@ def flash_attention(
         b, sq, c = q.shape
         sk = k.shape[1]
         d = c // heads
-        if not packed_ok(sq, sk, c, heads, jnp.dtype(q.dtype).itemsize):
+        itemsize = jnp.dtype(q.dtype).itemsize
+        sk_real = kv_len if kv_len is not None else sk
+        if not packed_ok(sq, sk, c, heads, itemsize):
+            if packed_multik_ok(sq, sk, c, heads, itemsize):
+                return _flash_packed_multik(
+                    q, k, v, heads=heads, scale=scale, kv_len=sk_real,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
             raise ValueError(
-                f"packed kernel needs the key sequence in one VMEM block; "
-                f"sk={sk} c={c} too large — use layout='bhsd'")
+                f"packed kernel needs the key sequence in one VMEM block "
+                f"(or multik-eligible geometry); sk={sk} c={c} too large "
+                f"— use layout='bhsd'")
         if scale is None:
             scale = 1.0 / (d ** 0.5)
         qs = q * jnp.asarray(scale * LOG2E, q.dtype)
@@ -288,7 +421,7 @@ def flash_attention(
         nq = q3.shape[1] // bq
         out = pl.pallas_call(
             functools.partial(
-                _kernel_packed, sk_real=sk, block_k=bk, block_q=bq,
+                _kernel_packed, sk_real=sk_real, block_k=bk, block_q=bq,
                 heads=heads, d=d),
             grid=(b, nq, 1),
             in_specs=[
@@ -311,11 +444,21 @@ def flash_attention(
 
     *lead, sq, d = q.shape
     sk = k.shape[-2]
+    sk_real = kv_len if kv_len is not None else sk
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     dbq, dbk = _default_blocks(sq, sk, d)
     if block_q is None:
         block_q = dbq
+        if sq % dbq:
+            # Prefer a q block that tiles sq EXACTLY (no q-pad copy + no
+            # output unpad-slice): e.g. MMDiT's 4224-token pre-padded
+            # joint sequence takes bq=384 (4224 = 11 x 384) instead of
+            # padding 4224 -> 4352 for bq=256.
+            for cand in (384, 192, 128):
+                if sq % cand == 0 and cand <= 2 * dbq:
+                    block_q = cand
+                    break
     if block_k is None:
         block_k = dbk
 
@@ -340,7 +483,7 @@ def flash_attention(
     # every measurement to this row layout (BASELINE.md: 1.353 vs
     # 1.147 ms at SD1.5 geometry) and was removed.
     kernel = functools.partial(
-        _kernel, sk_real=sk, block_k=bk, causal=causal,
+        _kernel, sk_real=sk_real, block_k=bk, causal=causal,
         block_q=bq, nk=nk,
     )
     scr = [

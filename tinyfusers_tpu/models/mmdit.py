@@ -172,17 +172,22 @@ def _stream_post(p, x, attn_out, gates):
     return x + g2[:, None, :] * h
 
 
-def _block(p, img, txt, c, cfg: MMDiTConfig):
+def _block(p, img, txt, c, cfg: MMDiTConfig, kv_len=None):
     qi, ki, vi, gi = _stream_pre(p["img"], img, c, cfg)
     qt, kt, vt, gt = _stream_pre(p["txt"], txt, c, cfg)
     ti = img.shape[1]
     # Joint attention over [img ‖ txt] tokens (concat on the token axis —
-    # q/k/v are (B, T, H, hd), heads in place). Two layouts, decided at
-    # trace time: channel-packed when the heads-packed flash kernel can
-    # take the whole key sequence in VMEM (zero relayouts); classic bhsd
-    # otherwise — SD3's 1536-wide joint sequence exceeds the packed
-    # kernel's VMEM budget, and routing it through the packed fallback
-    # costs extra unpack/repack copies (measured ~25% of an SD3 step).
+    # q/k/v are (B, T, H, hd), heads in place). kv_len marks real tokens
+    # when the txt stream was pre-padded to 128-align the joint sequence
+    # (apply() pads ONCE per forward; every block's concat is then
+    # exactly kernel-block-aligned — the separate per-block HBM pad +
+    # unpad-slice measured ~4.4 ms/forward in the round-5 SD3 trace).
+    # Two layouts, decided at trace time: channel-packed when the
+    # heads-packed flash kernel can take the whole key sequence in VMEM
+    # (zero relayouts); classic bhsd otherwise — SD3's 1536-wide joint
+    # sequence exceeds the packed kernel's VMEM budget, and routing it
+    # through the packed fallback costs extra unpack/repack copies
+    # (measured ~25% of an SD3 step).
     t_all = ti + txt.shape[1]
     if cfg.attn_impl is None and ops.packed_beneficial(
             t_all, t_all, cfg.dim, cfg.num_heads,
@@ -190,12 +195,16 @@ def _block(p, img, txt, c, cfg: MMDiTConfig):
         q = _unheads(jnp.concatenate([qi, qt], axis=1))
         k = _unheads(jnp.concatenate([ki, kt], axis=1))
         v = _unheads(jnp.concatenate([vi, vt], axis=1))
-        o = ops.sdpa_packed(q, k, v, heads=cfg.num_heads)
+        o = ops.sdpa_packed(q, k, v, heads=cfg.num_heads, kv_len=kv_len)
     else:
         bhsd = lambda a, b: jnp.concatenate(  # noqa: E731
             [a, b], axis=1).transpose(0, 2, 1, 3)
         o = ops.sdpa(bhsd(qi, qt), bhsd(ki, kt), bhsd(vi, vt),
-                     impl=cfg.attn_impl)
+                     impl=cfg.attn_impl,
+                     kv_len=kv_len if cfg.attn_impl is None else None)
+        # An einsum('bhtd,hdc->btc') fold of this transpose into the
+        # out-projection measured null (round 5): XLA materializes the
+        # same relayout inside the contraction.
         o = _unheads(o.transpose(0, 2, 1, 3))
     img = _stream_post(p["img"], img, o[:, :ti], gi)
     txt = _stream_post(p["txt"], txt, o[:, ti:], gt)
@@ -228,6 +237,15 @@ def apply(
     txt = ops.linear(context.astype(x.dtype),
                      params["context_embed"]["weight"],
                      params["context_embed"]["bias"])
+    # Pad the txt stream ONCE so the joint [img ‖ txt] sequence is
+    # 128-aligned for the flash kernel in every block (kv_len masks the
+    # pad tokens as keys; their own garbage outputs ride the txt stream
+    # and are never consumed — the final head reads img tokens only).
+    kv_len = None
+    t_all = img.shape[1] + txt.shape[1]
+    if cfg.attn_impl is None and t_all >= 1024 and t_all % 128:
+        txt = jnp.pad(txt, ((0, 0), (0, (-t_all) % 128), (0, 0)))
+        kv_len = t_all
 
     t_emb = timestep_embedding(timesteps.astype(jnp.float32) * 1000.0, 256)
     c = ops.linear(t_emb.astype(x.dtype), params["time_mlp"]["fc1"]["weight"],
@@ -247,7 +265,7 @@ def apply(
             # conditioning c rides the carry so it is microbatched in
             # lock-step with the streams (it has a batch dim)
             im, tx, cc = carry
-            im, tx = _block(bp, im, tx, cc, cfg)
+            im, tx = _block(bp, im, tx, cc, cfg, kv_len=kv_len)
             return (im, tx, cc)
 
         img, txt, _ = _pp.pipeline_apply(
@@ -257,7 +275,7 @@ def apply(
     else:
         def body(carry, bp):
             img, txt = carry
-            img, txt = _block(bp, img, txt, c, cfg)
+            img, txt = _block(bp, img, txt, c, cfg, kv_len=kv_len)
             return (img, txt), None
 
         (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])

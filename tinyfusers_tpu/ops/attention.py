@@ -87,28 +87,30 @@ def packed_beneficial(sq: int, sk: int, channels: int, heads: int,
 # blockwise Pallas backward kernel is the future upgrade if fine-tuning
 # at 16k-token SDXL geometries becomes a bottleneck).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_packed_diff(q, k, v, heads: int, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_packed_diff(q, k, v, heads: int, scale, kv_len=None):
     from ..kernels.flash_attention import flash_attention
 
     return flash_attention(q, k, v, scale=scale, layout="packed",
-                           heads=heads)
+                           heads=heads, kv_len=kv_len)
 
 
-def _flash_packed_fwd(q, k, v, heads, scale):
-    return _flash_packed_diff(q, k, v, heads, scale), (q, k, v)
+def _flash_packed_fwd(q, k, v, heads, scale, kv_len=None):
+    return _flash_packed_diff(q, k, v, heads, scale, kv_len), (q, k, v)
 
 
-def _flash_packed_bwd(heads, scale, res, g):
+def _flash_packed_bwd(heads, scale, kv_len, res, g):
     q, k, v = res
     b, sq, c = q.shape
     sk = k.shape[1]
+    sk_r = kv_len if kv_len is not None else sk
     d = c // heads
 
     def ref(q_, k_, v_):
-        unpack = lambda x, s: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
-        o = sdpa_xla(unpack(q_, sq), unpack(k_, sk), unpack(v_, sk),
-                     scale=scale)
+        unpack = lambda x, s, n: x[:, :n].reshape(  # noqa: E731
+            b, n, heads, d).transpose(0, 2, 1, 3)
+        o = sdpa_xla(unpack(q_, sq, sq), unpack(k_, sk, sk_r),
+                     unpack(v_, sk, sk_r), scale=scale)
         return o.transpose(0, 2, 1, 3).reshape(b, sq, c)
 
     _, vjp = jax.vjp(ref, q, k, v)
@@ -118,21 +120,28 @@ def _flash_packed_bwd(heads, scale, res, g):
 _flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_bhsd_diff(q, k, v, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_bhsd_diff(q, k, v, scale, kv_len=None):
     from ..kernels.flash_attention import flash_attention
 
-    return flash_attention(q, k, v, scale=scale)
+    return flash_attention(q, k, v, scale=scale, kv_len=kv_len)
 
 
-def _flash_bhsd_fwd(q, k, v, scale):
-    return _flash_bhsd_diff(q, k, v, scale), (q, k, v)
+def _flash_bhsd_fwd(q, k, v, scale, kv_len=None):
+    return _flash_bhsd_diff(q, k, v, scale, kv_len), (q, k, v)
 
 
-def _flash_bhsd_bwd(scale, res, g):
+def _flash_bhsd_bwd(scale, kv_len, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: sdpa_xla(q_, k_, v_, scale=scale),
-                     q, k, v)
+
+    def ref(q_, k_, v_):
+        # kv_len: keys beyond it are caller-side padding — slice them out
+        # (the slice's vjp zero-pads dk/dv back to full shape)
+        kk = k_[..., :kv_len, :] if kv_len is not None else k_
+        vv = v_[..., :kv_len, :] if kv_len is not None else v_
+        return sdpa_xla(q_, kk, vv, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 
@@ -147,10 +156,11 @@ def sdpa_packed(
     heads: int,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    kv_len: Optional[int] = None,
 ) -> jax.Array:
     """SDPA over channel-packed activations: q (B, Sq, H*d), k/v
     (B, Sk, H*d) -> (B, Sq, H*d). The models' native layout goes
-    straight in and out.
+    straight in and out. kv_len: real key count for pre-padded k/v.
 
     On TPU with packed-friendly geometry this runs the heads-packed
     flash kernel — no (B,S,H,d)<->(B,H,S,d) relayout is ever
@@ -167,10 +177,10 @@ def sdpa_packed(
         impl = _default_impl(q, None)
     if impl == "flash" and packed_ok(
             sq, sk, c, heads, jnp.dtype(q.dtype).itemsize):
-        return _flash_packed_diff(q, k, v, heads, scale)
+        return _flash_packed_diff(q, k, v, heads, scale, kv_len)
     unpack = lambda x, s: x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
     o = sdpa(unpack(q, sq), unpack(k, sk), unpack(v, sk),
-             scale=scale, impl=impl)
+             scale=scale, impl=impl, kv_len=kv_len)
     return o.transpose(0, 2, 1, 3).reshape(b, sq, c)
 
 
@@ -182,9 +192,13 @@ def sdpa(
     *,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    kv_len: Optional[int] = None,
 ) -> jax.Array:
     """Dispatching SDPA (bhsd layout: q (..., Sq, D), k/v (..., Sk, D)).
     impl in {None, 'xla', 'flash', 'ring[:seq_axis[,batch_axis]]'}.
+
+    kv_len: number of real keys when k/v arrive pre-padded on the token
+    axis (see kernels/flash_attention.py) — columns beyond are masked.
 
     'ring' is the sequence-parallel path (parallel/ring_attention.py):
     the token axis is sharded over the named mesh axis and k/v shards
@@ -198,12 +212,16 @@ def sdpa(
             from ..kernels.flash_attention import flash_attention
 
             return flash_attention(q, k, v, mask=mask, scale=scale)
-        return _flash_bhsd_diff(q, k, v, scale)
+        return _flash_bhsd_diff(q, k, v, scale, kv_len)
     if impl.startswith("ring"):
         from ..parallel.ring_attention import ring_sdpa
 
         assert mask is None, "ring attention does not support masks yet"
+        assert kv_len is None, "ring attention does not support kv_len"
         return ring_sdpa(q, k, v, impl, scale=scale)
+    if kv_len is not None:
+        k = k[..., :kv_len, :]
+        v = v[..., :kv_len, :]
     return sdpa_xla(q, k, v, mask, scale=scale)
 
 
