@@ -86,3 +86,21 @@ def test_fid_math():
     assert abs(got - 0.25 * 8) < 1e-8, got
     # and FID is symmetric
     assert abs(fid.fid_from_features(g, f) - got) < 1e-8
+
+
+def test_memory_footprint_harness(tmp_path):
+    """AOT engine-step HBM analysis (round-5): quant variants must show
+    strictly decreasing measured argument bytes."""
+    out = tmp_path / "mem.json"
+    r = subprocess.run(
+        [sys.executable, "benchmarks/memory_footprint.py", "--preset",
+         "tiny", "--cpu", "--json", str(out)],
+        capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parent.parent, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rows = {x["variant"]: x for x in json.loads(out.read_text())}
+    assert rows["fp16"]["argument_mb"] > rows["int8"]["argument_mb"] > \
+        rows["int4"]["argument_mb"] > 0
+    for x in rows.values():
+        assert x["total_mb"] > 0 and x["temp_mb"] >= 0
