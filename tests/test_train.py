@@ -394,3 +394,27 @@ class TestTrainCLI:
         # robust decrease check: mean of last 3 logs well below first log
         assert np.mean(losses[-3:]) < losses[0] * 0.9, losses
         assert out.exists()
+
+    def test_train_full_cli_loss_decreases(self, tmp_path):
+        """Full-parameter fine-tune surface (examples/train_full.py, no
+        adapters): loss must come down, fine-tuned weights must save,
+        and the AOT memory report must print (the round-5 boundary
+        probe's CI-scale drill)."""
+        import re
+        import subprocess
+        import sys
+
+        out = tmp_path / "unet_ft.safetensors"
+        r = subprocess.run(
+            [sys.executable, "examples/train_full.py", "--preset", "tiny",
+             "--cpu", "--steps", "300", "--batch", "4", "--lr", "3e-4",
+             "--log-every", "50", "--out", str(out)],
+            capture_output=True, text=True,
+            cwd=Path(__file__).resolve().parent.parent, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        losses = [float(m) for m in re.findall(r"loss ([0-9.]+)", r.stdout)]
+        assert len(losses) >= 4
+        assert np.mean(losses[-2:]) < losses[0] * 0.92, losses
+        assert "AOT step memory" in r.stdout
+        assert out.exists()
