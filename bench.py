@@ -67,31 +67,42 @@ def fast_random_params(cfg, dtype, seed=0):
     rng = np.random.default_rng(seed)
     pool = jnp.asarray(rng.standard_normal(1 << 20).astype(np.float32) * 0.02)
 
-    # One tiny jitted builder per DISTINCT (shape, dtype) — SD1.5 has 954
-    # leaves but only 80 distinct shapes, so this is ~80 sub-second
-    # compiles (persistently cached) and 954 cheap async dispatches.
+    # One jitted builder per DISTINCT (shape, dtype) GROUP, returning all
+    # ``count`` copies of that shape as separate outputs in ONE dispatch —
+    # SD1.5 has 954 leaves but only ~80 distinct shapes, so this is ~80
+    # compiles (persistently cached) and ~80 dispatches. The round-4
+    # variant dispatched per LEAF (954 calls); at the axon tunnel's
+    # ~0.1 s/dispatch that alone was ~95 s of the driver's observed
+    # 75-133 s init. Each copy slices the tiled pool at a different
+    # offset, so outputs are distinct values in distinct buffers (no XLA
+    # output aliasing) and HBM footprint/read traffic match real weights.
     # (A single jit over the whole 954-output tree measured 202 s to
     # compile; per-leaf host numpy + H2D measured 43-122 s of tunnel
     # upload. This path: ~4 MB H2D + device-side tiling.)
-    builders = {}
+    leaves, treedef = jax.tree.flatten(shapes)
+    groups = {}  # (shape, dtype str) -> leaf count
+    for leaf in leaves:
+        key = (leaf.shape, str(leaf.dtype))
+        groups[key] = groups.get(key, 0) + 1
 
-    def builder(shape, dt):
-        key = (shape, str(dt))
-        if key not in builders:
-            n = 1
-            for s in shape:
-                n *= s
-            reps = -(-n // pool.size)
+    built = {}
+    for (shape, dts), count in groups.items():
+        n = 1
+        for s in shape:
+            n *= s
+        reps = -(-(n + count) // pool.size)
 
-            @jax.jit
-            def b(p, n=n, reps=reps, shape=shape, dt=dt):
-                return jnp.tile(p, reps)[:n].reshape(shape).astype(dt)
+        @jax.jit
+        def b(p, n=n, reps=reps, shape=shape, dt=jnp.dtype(dts), count=count):
+            flat = jnp.tile(p, reps)
+            return tuple(flat[i:i + n].reshape(shape).astype(dt)
+                         for i in range(count))
 
-            builders[key] = b
-        return builders[key]
+        built[(shape, dts)] = list(b(pool))
 
-    params = jax.tree.map(
-        lambda leaf: builder(leaf.shape, leaf.dtype)(pool), shapes)
+    out_leaves = [built[(leaf.shape, str(leaf.dtype))].pop()
+                  for leaf in leaves]
+    params = jax.tree.unflatten(treedef, out_leaves)
     sync(params)
     return params
 

@@ -55,6 +55,11 @@ def main():
     from tinyfusers_tpu.pipeline.samplers import SAMPLERS
 
     p.add_argument("--sampler", choices=list(SAMPLERS), default="ddim")
+    from tinyfusers_tpu.pipeline.samplers import SCHEDULES
+
+    p.add_argument("--schedule", choices=list(SCHEDULES), default="ladder",
+                   help="sigma spacing for the sigma-space samplers "
+                        "(karras = rho-7 Karras et al. spacing)")
     p.add_argument("--control-ckpt", default=None,
                    help="ControlNet checkpoint (control_model.* layout)")
     p.add_argument("--control-image", default=None,
@@ -65,6 +70,11 @@ def main():
                    metavar="WORD=PATH",
                    help="textual-inversion embedding: placeholder word = "
                         "embedding file (.pt/.safetensors); repeatable")
+    p.add_argument("--hires-scale", type=int, default=1,
+                   help=">1: hires-fix — sample at base res, latent-upscale "
+                        "by this factor, denoise the tail at high res")
+    p.add_argument("--hires-strength", type=float, default=0.6,
+                   help="denoising strength of the hires tail pass")
     p.add_argument("--no-cfg", action="store_true",
                    help="guidance-free sampling (SD-Turbo/LCM-style "
                         "distilled checkpoints; single-batch UNet)")
@@ -173,14 +183,29 @@ def main():
                 print("no --control-image: using a zero hint (smoke run)")
                 hint = jnp.zeros((1, hh, ww, 3), jnp.float32)
             control = (cn_params, hint, args.control_scale)
-        gen = lambda: sd.generate(params, ids, uids, latent,
-                                  jnp.float32(args.guidance),
-                                  num_steps=args.steps, cfg=cfg,
-                                  method=args.sampler, key=skey,
-                                  uncond_interval=args.uncond_interval,
-                                  deepcache_interval=args.deepcache_interval,
-                                  deepcache_split=args.deepcache_split,
-                                  prompt_weights=weights, control=control)
+        if args.hires_scale > 1:
+            if (control is not None or weights is not None
+                    or args.deepcache_interval > 1):
+                p.error("--hires-scale composes with samplers/schedules/"
+                        "cached CFG; control/prompt-weights/DeepCache are "
+                        "not wired into the hires path yet")
+            gen = lambda: sd.generate_hires(
+                params, ids, uids, latent, jax.random.key(args.seed + 1),
+                jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg,
+                method=args.sampler, schedule=args.schedule,
+                hires_scale=args.hires_scale,
+                hires_strength=args.hires_strength,
+                uncond_interval=args.uncond_interval)
+        else:
+            gen = lambda: sd.generate(params, ids, uids, latent,
+                                      jnp.float32(args.guidance),
+                                      num_steps=args.steps, cfg=cfg,
+                                      method=args.sampler,
+                                      schedule=args.schedule, key=skey,
+                                      uncond_interval=args.uncond_interval,
+                                      deepcache_interval=args.deepcache_interval,
+                                      deepcache_split=args.deepcache_split,
+                                      prompt_weights=weights, control=control)
 
     import numpy as _np
 

@@ -166,3 +166,156 @@ class TestDeepCacheAllSamplers:
         db = np.asarray(b).astype(int)
         assert np.abs(da - db).mean() < 72
         assert not np.array_equal(da, db)
+
+
+class TestKarrasSchedule:
+    """schedule="karras": rho-7 sigma spacing (Karras et al. 2022) with
+    continuous interpolated timestep conditioning."""
+
+    def test_ladder_properties(self):
+        ts, sig = samplers.sigma_ladder(20, "karras")
+        s, t = np.asarray(sig), np.asarray(ts)
+        acp = np.asarray(ddim.alphas_cumprod())
+        sigma_all = np.sqrt((1.0 - acp) / acp)
+        assert s.shape == (21,) and t.shape == (20,)
+        assert np.all(np.diff(s) < 0) and s[-1] == 0.0
+        # endpoints span the model's own sigma range
+        assert np.isclose(s[0], sigma_all[-1], rtol=1e-5)
+        assert np.isclose(s[-2], sigma_all[0], rtol=1e-5)
+        # timesteps: descending, inside the table, consistent with the
+        # sigma(t) relation at each rung
+        assert np.all(np.diff(t) < 0)
+        assert t[0] <= 999.0 and t[-1] >= 0.0
+        tint = np.clip(t.astype(int), 0, 998)
+        frac = t - tint
+        sig_interp = sigma_all[tint] * (1 - frac) + sigma_all[tint + 1] * frac
+        np.testing.assert_allclose(sig_interp, s[:-1], rtol=1e-4)
+
+    def test_perfect_eps_recovers_x0(self):
+        # sigma-continuous oracle: the model derives sigma from the
+        # (possibly fractional) t by the same interpolation the schedule
+        # used, so Euler integrates the probability-flow ODE exactly.
+        acp = ddim.alphas_cumprod()
+        sigma_all = jnp.sqrt((1.0 - acp) / acp)
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+
+        def model_fn(x_t, t):
+            sig = jnp.interp(
+                t, jnp.arange(sigma_all.shape[0], dtype=jnp.float32),
+                sigma_all)
+            a = 1.0 / (1.0 + sig**2)
+            return (x_t - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+        noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+        out = samplers.sample(model_fn, noise, 20, method="euler",
+                              schedule="karras")
+        err = float(jnp.abs(out - x0).max())
+        assert err < 0.05, err
+
+    def test_ddim_rejects_karras(self):
+        with pytest.raises(ValueError):
+            samplers.sample(lambda x, t: x, jnp.zeros((1, 4, 4, 2)), 4,
+                            method="ddim", schedule="karras")
+
+    def test_unknown_schedule_rejected(self):
+        with pytest.raises(ValueError):
+            samplers.sigma_ladder(4, "cosine")
+
+    @pytest.mark.parametrize("method", ["euler", "dpmpp_2m"])
+    def test_generate_karras_differs_from_ladder(self, method):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        kw = dict(num_steps=3, cfg=cfg, method=method)
+        img_k = sd.generate(params, ids, ids, lat, jnp.float32(7.5),
+                            schedule="karras", **kw)
+        img_l = sd.generate(params, ids, ids, lat, jnp.float32(7.5),
+                            schedule="ladder", **kw)
+        assert img_k.shape == (1, 32, 32, 3) and img_k.dtype == jnp.uint8
+        assert np.asarray(img_k).sum() > 0  # not a degenerate black frame
+        assert not np.array_equal(np.asarray(img_k), np.asarray(img_l))
+
+
+def sigma_continuous_perfect_model(x0):
+    """Perfect-eps oracle valid at fractional timesteps: sigma is derived
+    from t by the same interpolation the karras schedule uses."""
+    acp = ddim.alphas_cumprod()
+    sigma_all = jnp.sqrt((1.0 - acp) / acp)
+
+    def model_fn(x_t, t):
+        sig = jnp.interp(t, jnp.arange(sigma_all.shape[0], dtype=jnp.float32),
+                         sigma_all)
+        a = 1.0 / (1.0 + sig**2)
+        return (x_t - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+    return model_fn
+
+
+class TestTailStart:
+    """start_index > 0: the img2img / hires-fix tail-start mechanism."""
+
+    @pytest.mark.parametrize("method,schedule", [
+        ("ddim", "ladder"), ("euler", "ladder"),
+        ("euler", "karras"), ("dpmpp_2m", "karras"),
+    ])
+    def test_tail_start_recovers_x0(self, method, schedule):
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+        _, sigmas = samplers.sigma_ladder(20, schedule)
+        start = 12
+        x_t = sd.noise_to_rung(x0, noise, sigmas[start])
+        model = (perfect_model(x0) if schedule == "ladder"
+                 else sigma_continuous_perfect_model(x0))
+        out = samplers.sample(model, x_t, 20, method=method,
+                              schedule=schedule, start_index=start)
+        err = float(jnp.abs(out - x0).max())
+        assert err < 0.05, (method, schedule, err)
+
+    def test_start_zero_is_default(self):
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+        a = samplers.sample(perfect_model(x0), noise, 10, method="euler")
+        b = samplers.sample(perfect_model(x0), noise, 10, method="euler",
+                            start_index=0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_out_of_range_rejected(self):
+        with pytest.raises(ValueError):
+            samplers.sample(lambda x, t: x, jnp.zeros((1, 4, 4, 2)), 4,
+                            start_index=4)
+
+
+class TestHiresFix:
+    @pytest.mark.parametrize("method,schedule", [
+        ("ddim", "ladder"), ("euler", "karras"),
+    ])
+    def test_generate_hires(self, method, schedule):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        img = sd.generate_hires(
+            params, ids, ids, lat, jax.random.key(2), jnp.float32(7.5),
+            num_steps=3, cfg=cfg, method=method, schedule=schedule,
+            hires_scale=2, hires_strength=0.7)
+        # base 32px TINY -> 64px output
+        assert img.shape == (1, 64, 64, 3) and img.dtype == jnp.uint8
+        assert np.asarray(img).std() > 0
+
+    def test_hires_differs_from_direct(self):
+        """The two-pass output must not equal a direct single-pass at the
+        same final resolution (it composes at base res by design)."""
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        img2 = sd.generate_hires(
+            params, ids, ids, lat, jax.random.key(2), jnp.float32(7.5),
+            num_steps=3, cfg=cfg, hires_scale=2)
+        big = sd.SDConfig(clip=cfg.clip, unet=cfg.unet, vae=cfg.vae,
+                          height=64, width=64)
+        lat_big = sd.initial_latent(jax.random.key(1), 1, big)
+        img1 = sd.generate(params, ids, ids, lat_big, jnp.float32(7.5),
+                           num_steps=3, cfg=big)
+        assert not np.array_equal(np.asarray(img2), np.asarray(img1))

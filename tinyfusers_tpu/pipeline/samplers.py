@@ -39,14 +39,39 @@ SAMPLERS = (
     "dpmpp_2s_ancestral",
 )
 
+SCHEDULES = ("ladder", "karras")
 
-def sigma_ladder(num_steps: int):
-    """Descending sigmas aligned with the reversed DDIM timestep ladder,
-    with a terminal 0. Returns (timesteps_desc, sigmas (num_steps+1,))."""
+
+def sigma_ladder(num_steps: int, schedule: str = "ladder"):
+    """Descending sigmas with a terminal 0.
+    Returns (timesteps_desc (num_steps,), sigmas (num_steps+1,)).
+
+    schedule="ladder": sigmas at the reversed DDIM timestep ladder (the
+    reference's range(1,1000,1000//steps) spacing, example/sd1.py:54).
+    schedule="karras": the Karras et al. 2022 rho=7 spacing between the
+    model's own [sigma_min, sigma_max] (k-diffusion get_sigmas_karras) —
+    denser near sigma_min, where few-step sampling loses most detail.
+    Timesteps are continuous: the monotone sigma(t) table is inverted by
+    interpolation, and the network is conditioned at the interpolated t
+    (same convention as dpmpp_2s_ancestral's midpoint evals)."""
     acp = ddim_mod.alphas_cumprod()
-    ts = ddim_mod.ddim_timesteps(num_steps)[::-1]  # descending t
-    a = acp[ts]
-    sigmas = jnp.sqrt((1.0 - a) / a)
+    if schedule == "ladder":
+        ts = ddim_mod.ddim_timesteps(num_steps)[::-1]  # descending t
+        a = acp[ts]
+        sigmas = jnp.sqrt((1.0 - a) / a)
+        return (ts.astype(jnp.float32),
+                jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)]))
+    if schedule != "karras":
+        raise ValueError(f"unknown schedule {schedule!r}; options: {SCHEDULES}")
+    sigma_all = jnp.sqrt((1.0 - acp) / acp)  # increasing in t
+    sigma_min, sigma_max = sigma_all[0], sigma_all[-1]
+    rho = 7.0
+    ramp = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)
+    inv = sigma_max ** (1.0 / rho) + ramp * (
+        sigma_min ** (1.0 / rho) - sigma_max ** (1.0 / rho))
+    sigmas = inv ** rho  # descending sigma_max -> sigma_min
+    ts = jnp.interp(sigmas, sigma_all,
+                    jnp.arange(sigma_all.shape[0], dtype=jnp.float32))
     return ts, jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)])
 
 
@@ -67,17 +92,31 @@ def sample(
     method: str = "euler",
     key: Optional[jax.Array] = None,
     aux_init=None,
+    schedule: str = "ladder",
+    start_index: int = 0,
 ) -> jax.Array:
-    """Run ``num_steps`` of the chosen sampler.
+    """Run the chosen sampler down the ``num_steps`` ladder from rung
+    ``start_index`` (0 = from pure noise; k>0 skips the k highest-noise
+    rungs — the img2img / hires-fix "denoising strength" mechanism).
 
-    latent: standard-normal initial noise (DDPM convention, as in
-    sd.initial_latent). Returns the final denoised latent (DDPM space,
-    i.e. x0 — alphas at sigma=0 coincide).
+    latent: DDPM-space x_t at ladder rung ``start_index``. For
+    start_index=0 that is standard-normal initial noise (as in
+    sd.initial_latent); for a tail start, noise a clean latent z0 with
+    x_t = (z0 + sigma_start * n) / sqrt(1 + sigma_start**2) using
+    sigmas[start_index] from sigma_ladder (sd.noise_to_rung does this).
+    Returns the final denoised latent (DDPM space, i.e. x0 — alphas at
+    sigma=0 coincide).
 
     aux_init: when given, ``model_fn`` must take (x, t, aux) and return
     (eps, aux); the aux pytree is threaded through every network call in
     scan order (see module docstring).
+
+    schedule: sigma spacing for the sigma-space samplers ("ladder" or
+    "karras", see sigma_ladder). ddim is defined on the discrete
+    timestep ladder and rejects "karras".
     """
+    if not 0 <= start_index < num_steps:
+        raise ValueError(f"start_index {start_index} outside [0, {num_steps})")
     if aux_init is None:
         def mfn(x, t, aux, _raw=model_fn):
             return _raw(x, t), aux
@@ -86,10 +125,16 @@ def sample(
         mfn, aux0 = model_fn, aux_init
 
     if method == "ddim":
-        return _sample_ddim(mfn, aux0, latent, num_steps)
-    ts, sigmas = sigma_ladder(num_steps)
+        if schedule != "ladder":
+            raise ValueError(
+                "ddim is defined on the discrete timestep ladder; use a "
+                "sigma-space sampler (euler/heun/dpmpp_*) with "
+                f"schedule={schedule!r}")
+        return _sample_ddim(mfn, aux0, latent, num_steps, start_index)
+    ts, sigmas = sigma_ladder(num_steps, schedule)
     lat32 = latent.astype(jnp.float32)
-    X = lat32 * jnp.sqrt(1.0 + sigmas[0] ** 2)  # lift N(0,1) into sigma space
+    # lift DDPM-space x_t at the start rung into sigma space
+    X = lat32 * jnp.sqrt(1.0 + sigmas[start_index] ** 2)
 
     def call(X_in, sig, t, aux):
         eps, aux = mfn(_to_model_input(X_in, sig).astype(latent.dtype),
@@ -104,7 +149,7 @@ def sample(
             X = X + eps * (sig_next - sig)
             return (X, aux), None
 
-        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(num_steps))
+        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(start_index, num_steps))
         return X.astype(latent.dtype)
 
     if method == "euler_ancestral":
@@ -123,7 +168,7 @@ def sample(
             X = X + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
             return (X, k, aux), None
 
-        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(num_steps))
+        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(start_index, num_steps))
         return X.astype(latent.dtype)
 
     if method == "heun":
@@ -145,7 +190,7 @@ def sample(
             X = jnp.where(sig_next > 0.0, X_heun, X_pred)
             return (X, aux), None
 
-        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(num_steps))
+        (X, _), _ = jax.lax.scan(body, (X, aux0), jnp.arange(start_index, num_steps))
         return X.astype(latent.dtype)
 
     if method == "dpmpp_2s_ancestral":
@@ -188,7 +233,7 @@ def sample(
             X = X_det + sigma_up * jax.random.normal(sub, X.shape, X.dtype)
             return (X, k, aux), None
 
-        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(num_steps))
+        (X, _, _), _ = jax.lax.scan(body, (X, key, aux0), jnp.arange(start_index, num_steps))
         return X.astype(latent.dtype)
 
     if method == "dpmpp_2m":
@@ -215,17 +260,19 @@ def sample(
             return (X, den, jnp.bool_(True), aux), None
 
         init = (X, jnp.zeros_like(X), jnp.bool_(False), aux0)
-        (X, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+        (X, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(start_index, num_steps))
         return X.astype(latent.dtype)
 
     raise ValueError(f"unknown sampler {method!r}; options: {SAMPLERS}")
 
 
-def _sample_ddim(mfn, aux0, latent, num_steps):
-    """DDIM via the shared interface (same math as ddim.ddim_step)."""
+def _sample_ddim(mfn, aux0, latent, num_steps, start_index=0):
+    """DDIM via the shared interface (same math as ddim.ddim_step).
+    start_index skips the highest-noise rungs (img2img tail start)."""
     timesteps = ddim_mod.ddim_timesteps(num_steps)
     alphas, alphas_prev = ddim_mod.ddim_alphas(num_steps)
-    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
+    xs = (timesteps[::-1][start_index:], alphas[::-1][start_index:],
+          alphas_prev[::-1][start_index:])
 
     def body(carry, x):
         lat, aux = carry

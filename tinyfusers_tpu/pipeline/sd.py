@@ -178,6 +178,8 @@ def sample_latents(
     guidance,
     cfg: SDConfig = SD15,
     method: str = "ddim",
+    schedule: str = "ladder",
+    start_index: int = 0,
     key=None,
     uncond_interval: int = 1,
     deepcache_interval: int = 1,
@@ -263,14 +265,15 @@ def sample_latents(
                 unet_params, latent, context, uncond_context,
                 num_steps=num_steps, guidance=guidance, cfg=cfg,
                 dk=deepcache_interval, split=deepcache_split,
-                uk=uncond_interval, method=method, key=key,
+                uk=uncond_interval, method=method, schedule=schedule,
+                start_index=start_index, key=key,
                 ctrl_for=ctrl_for if control_enc else None,
             )
         return _sample_deepcache(
             unet_params, latent, context, uncond_context,
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
-            method=method, key=key,
+            method=method, schedule=schedule, start_index=start_index, key=key,
             ctrl_for=ctrl_for if control_enc else None,
         )
 
@@ -284,6 +287,7 @@ def sample_latents(
             return model_out_to_eps(out, lat, t, cfg)
 
         return samplers.sample(model_fn, latent, num_steps, method=method,
+                               schedule=schedule, start_index=start_index,
                                key=key)
 
     if uncond_interval <= 1:
@@ -296,7 +300,9 @@ def sample_latents(
             o_t = ddim.cfg_combine(out[:b], out[b:], guidance)
             return model_out_to_eps(o_t, lat, t, cfg)
 
-        return samplers.sample(model_fn, latent, num_steps, method=method, key=key)
+        return samplers.sample(model_fn, latent, num_steps, method=method,
+                               schedule=schedule, start_index=start_index,
+                               key=key)
 
     # Cached CFG under ANY sampler: the samplers thread an aux pytree
     # through every network call (samplers.sample aux_init), so the
@@ -316,13 +322,15 @@ def sample_latents(
 
     aux0 = (jnp.int32(0), jnp.zeros_like(latent))
     return samplers.sample(model_fn, latent, num_steps, method=method,
+                           schedule=schedule, start_index=start_index,
                            key=key, aux_init=aux0)
 
 
 def _sample_deepcache(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
-    method: str = "ddim", key=None, ctrl_for=None,
+    method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
+    key=None, ctrl_for=None,
 ):
     """CFG sampling with DeepCache under ANY sampler: full UNet every
     ``interval``-th network call, shallow (first/last ``split`` blocks +
@@ -381,13 +389,15 @@ def _sample_deepcache(
         return e_t, (n + 1, cache, ctrl_cache)
 
     return samplers.sample(model_fn, latent, num_steps, method=method,
-                           key=key, aux_init=(jnp.int32(0), cache0, ctrl0))
+                           schedule=schedule, start_index=start_index, key=key,
+                           aux_init=(jnp.int32(0), cache0, ctrl0))
 
 
 def _sample_deepcache_cached_cfg(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
-    method: str = "ddim", key=None, ctrl_for=None,
+    method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
+    key=None, ctrl_for=None,
 ):
     """DeepCache on the cond branch + cached CFG on the uncond branch
     (cond and uncond run as separate B-batches here, unlike the
@@ -452,10 +462,11 @@ def _sample_deepcache_cached_cfg(
 
     aux0 = (jnp.int32(0), jnp.zeros_like(latent), cache0, ctrl0)
     return samplers.sample(model_fn, latent, num_steps, method=method,
+                           schedule=schedule, start_index=start_index,
                            key=key, aux_init=aux0)
 
 
-@partial(jax.jit, static_argnames=("num_steps", "cfg", "method",
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
                                    "uncond_interval", "deepcache_interval",
                                    "deepcache_split"))
 def generate(
@@ -468,6 +479,7 @@ def generate(
     num_steps: int = 20,
     cfg: SDConfig = SD15,
     method: str = "ddim",
+    schedule: str = "ladder",
     key=None,
     uncond_interval: int = 1,
     deepcache_interval: int = 1,
@@ -479,6 +491,8 @@ def generate(
 
     One compiled program: CLIP (cond+uncond), scanned sampler loop, VAE
     decode, postprocess. method selects the sampler (pipeline.samplers);
+    schedule selects the sigma spacing for the sigma-space samplers
+    ("ladder" or "karras" — samplers.sigma_ladder);
     uncond_interval>1 enables cached CFG (see sample_latents);
     prompt_weights (B, T) applies per-token emphasis
     (tokenizer/prompt_weights). uncond_ids=None disables CFG entirely
@@ -492,7 +506,7 @@ def generate(
     latent = sample_latents(
         params["unet"], latent, ctx, uctx,
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
-        key=key, uncond_interval=uncond_interval,
+        schedule=schedule, key=key, uncond_interval=uncond_interval,
         deepcache_interval=deepcache_interval,
         deepcache_split=deepcache_split, control=control,
     )
@@ -502,6 +516,91 @@ def generate(
 
 def initial_latent(key: jax.Array, batch: int, cfg: SDConfig = SD15, dtype=jnp.float32):
     return jax.random.normal(key, (batch, *cfg.latent_shape), dtype)
+
+
+def noise_to_rung(z0: jax.Array, noise: jax.Array, sigma) -> jax.Array:
+    """Noise a clean latent z0 to a ladder rung with noise level
+    ``sigma``, returning DDPM-space x_t — the form samplers.sample
+    expects for a tail start (start_index > 0):
+        x_t = sqrt(a) z0 + sqrt(1-a) n = (z0 + sigma n) / sqrt(1+sigma^2)
+    """
+    x = z0.astype(jnp.float32) + sigma * noise.astype(jnp.float32)
+    return (x / jnp.sqrt(1.0 + sigma**2)).astype(z0.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
+                                   "hires_scale", "hires_steps",
+                                   "hires_strength", "uncond_interval"))
+def generate_hires(
+    params,
+    input_ids: jax.Array,
+    uncond_ids: jax.Array,
+    latent: jax.Array,
+    key: jax.Array,
+    guidance: jax.Array,
+    *,
+    num_steps: int = 20,
+    cfg: SDConfig = SD15,
+    method: str = "ddim",
+    schedule: str = "ladder",
+    hires_scale: int = 2,
+    hires_steps: int = 0,
+    hires_strength: float = 0.6,
+    uncond_interval: int = 1,
+) -> jax.Array:
+    """Two-pass hires-fix: sample at the config's base resolution, upscale
+    the LATENT bilinearly by ``hires_scale``, re-noise it to an
+    intermediate ladder rung, and denoise the tail at high resolution —
+    still ONE compiled program (both UNet resolutions are static shapes
+    inside the same jit).
+
+    This is the standard ecosystem answer to SD1.x's 512px training
+    distribution: direct >=1024px sampling duplicates subjects, the
+    base-pass composition + high-res detail pass does not. No reference
+    analog (single-resolution pipeline, example/sd1.py).
+
+    hires_steps: ladder length of the second pass (0 = num_steps).
+    hires_strength: fraction of that ladder actually run from noise
+    (A1111 "denoising strength"); the tail starts at rung
+    ceil((1-strength)*hires_steps). key drives the re-noise injection
+    (and the ancestral samplers in both passes, split per pass).
+    Returns uint8 images at (base * hires_scale) resolution.
+    """
+    from . import samplers
+
+    ctx = encode_text(params, input_ids, cfg)
+    uctx = None if uncond_ids is None else encode_text(params, uncond_ids, cfg)
+    k_base, k_noise, k_hi = jax.random.split(key, 3)
+    needs_key = "ancestral" in method
+    lat = sample_latents(
+        params["unet"], latent, ctx, uctx,
+        num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
+        schedule=schedule, key=k_base if needs_key else None,
+        uncond_interval=uncond_interval,
+    )
+
+    b, h, w, c = lat.shape
+    hi = jax.image.resize(
+        lat.astype(jnp.float32),
+        (b, h * hires_scale, w * hires_scale, c), method="bilinear")
+
+    hs = hires_steps or num_steps
+    run = max(1, min(hs, int(round(hs * hires_strength))))
+    start = hs - run
+    _, sigmas = samplers.sigma_ladder(
+        hs, "ladder" if method == "ddim" else schedule)
+    noise = jax.random.normal(k_noise, hi.shape, jnp.float32)
+    x_t = noise_to_rung(hi.astype(lat.dtype), noise, sigmas[start])
+
+    lat_hi = sample_latents(
+        params["unet"], x_t, ctx, uctx,
+        num_steps=hs, guidance=guidance, cfg=cfg, method=method,
+        schedule=schedule, start_index=start,
+        key=k_hi if needs_key else None,
+        uncond_interval=uncond_interval,
+    )
+    img = vae.decode(params["vae"], lat_hi, cfg.vae)
+    return vae.to_image(img)
 
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg"))
