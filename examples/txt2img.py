@@ -70,6 +70,9 @@ def main():
                    metavar="WORD=PATH",
                    help="textual-inversion embedding: placeholder word = "
                         "embedding file (.pt/.safetensors); repeatable")
+    p.add_argument("--cfg-rescale", type=float, default=0.0,
+                   help="guidance rescale phi (Lin et al. 2023) — counters "
+                        "high-guidance overexposure; ~0.7 for v-pred models")
     p.add_argument("--hires-scale", type=int, default=1,
                    help=">1: hires-fix — sample at base res, latent-upscale "
                         "by this factor, denoise the tail at high res")
@@ -195,7 +198,8 @@ def main():
                 method=args.sampler, schedule=args.schedule,
                 hires_scale=args.hires_scale,
                 hires_strength=args.hires_strength,
-                uncond_interval=args.uncond_interval)
+                uncond_interval=args.uncond_interval,
+                cfg_rescale=args.cfg_rescale)
         else:
             gen = lambda: sd.generate(params, ids, uids, latent,
                                       jnp.float32(args.guidance),
@@ -205,6 +209,7 @@ def main():
                                       uncond_interval=args.uncond_interval,
                                       deepcache_interval=args.deepcache_interval,
                                       deepcache_split=args.deepcache_split,
+                                      cfg_rescale=args.cfg_rescale,
                                       prompt_weights=weights, control=control)
 
     import numpy as _np

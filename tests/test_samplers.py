@@ -319,3 +319,44 @@ class TestHiresFix:
         img1 = sd.generate(params, ids, ids, lat_big, jnp.float32(7.5),
                            num_steps=3, cfg=big)
         assert not np.array_equal(np.asarray(img2), np.asarray(img1))
+
+
+class TestCfgRescale:
+    """Guidance rescale (Lin et al. 2023) — ddim.cfg_rescale math and its
+    composition through the sampling paths."""
+
+    def test_phi1_matches_cond_std(self):
+        k1, k2 = jax.random.split(jax.random.key(0))
+        e_c = jax.random.normal(k1, (2, 8, 8, 4)) * 0.5
+        e_u = jax.random.normal(k2, (2, 8, 8, 4))
+        o = ddim.cfg_combine(e_u, e_c, 7.5)
+        r = ddim.cfg_rescale(o, e_c, 1.0)
+        for i in range(2):
+            np.testing.assert_allclose(
+                float(jnp.std(r[i])), float(jnp.std(e_c[i])), rtol=1e-5)
+
+    def test_phi0_identity(self):
+        k1, k2 = jax.random.split(jax.random.key(0))
+        e_c = jax.random.normal(k1, (1, 8, 8, 4))
+        o = ddim.cfg_combine(jax.random.normal(k2, e_c.shape), e_c, 7.5)
+        np.testing.assert_allclose(np.asarray(ddim.cfg_rescale(o, e_c, 0.0)),
+                                   np.asarray(o), rtol=1e-6)
+
+    @pytest.mark.parametrize("extra", [
+        {}, {"uncond_interval": 2}, {"deepcache_interval": 2},
+        {"deepcache_interval": 2, "uncond_interval": 2},
+    ])
+    def test_generate_rescale_differs(self, extra):
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        # distinct uncond ids: with identical contexts CFG collapses to
+        # e_cond and the rescale is exactly identity
+        uids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        kw = dict(num_steps=3, cfg=cfg, **extra)
+        a = sd.generate(params, ids, uids, lat, jnp.float32(9.0),
+                        cfg_rescale=0.7, **kw)
+        b = sd.generate(params, ids, uids, lat, jnp.float32(9.0), **kw)
+        assert a.shape == b.shape and a.dtype == jnp.uint8
+        assert not np.array_equal(np.asarray(a), np.asarray(b))

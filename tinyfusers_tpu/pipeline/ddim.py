@@ -69,3 +69,19 @@ def ddim_step(x: jax.Array, e_t: jax.Array, a_t: jax.Array, a_prev: jax.Array):
 
 def cfg_combine(e_uncond: jax.Array, e_cond: jax.Array, guidance) -> jax.Array:
     return e_uncond + guidance * (e_cond - e_uncond)
+
+
+def cfg_rescale(e_cfg: jax.Array, e_cond: jax.Array, phi: float) -> jax.Array:
+    """Guidance rescale (Lin et al. 2023, "Common Diffusion Noise
+    Schedules and Sample Steps Are Flawed" §3.4): renormalize the CFG
+    output's per-sample std to the conditional prediction's std, then
+    blend by phi. Counters the overexposure/contrast blowout high
+    guidance causes, especially on v-prediction models (SD2.1-v).
+    Operates in model-output space (v or eps), before any v->eps
+    conversion — same convention as diffusers' guidance_rescale."""
+    axes = tuple(range(1, e_cfg.ndim))
+    x = e_cfg.astype(jnp.float32)
+    std_cond = jnp.std(e_cond.astype(jnp.float32), axis=axes, keepdims=True)
+    std_cfg = jnp.std(x, axis=axes, keepdims=True)
+    rescaled = x * (std_cond / jnp.maximum(std_cfg, 1e-8))
+    return (phi * rescaled + (1.0 - phi) * x).astype(e_cfg.dtype)

@@ -184,6 +184,7 @@ def sample_latents(
     uncond_interval: int = 1,
     deepcache_interval: int = 1,
     deepcache_split: int = 3,
+    cfg_rescale: float = 0.0,
     control=None,
 ) -> jax.Array:
     """Full sampling as one lax.scan (jit-friendly; num_steps static).
@@ -220,6 +221,11 @@ def sample_latents(
 
     guidance = jnp.asarray(guidance, jnp.float32)
     b = latent.shape[0]
+
+    def combine(e_u, e_c):
+        o = ddim.cfg_combine(e_u, e_c, guidance)
+        return (ddim.cfg_rescale(o, e_c, cfg_rescale)
+                if cfg_rescale > 0.0 else o)
 
     if uncond_context is None and (deepcache_interval > 1
                                    or uncond_interval > 1):
@@ -266,7 +272,7 @@ def sample_latents(
                 num_steps=num_steps, guidance=guidance, cfg=cfg,
                 dk=deepcache_interval, split=deepcache_split,
                 uk=uncond_interval, method=method, schedule=schedule,
-                start_index=start_index, key=key,
+                start_index=start_index, key=key, cfg_rescale=cfg_rescale,
                 ctrl_for=ctrl_for if control_enc else None,
             )
         return _sample_deepcache(
@@ -274,6 +280,7 @@ def sample_latents(
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
             method=method, schedule=schedule, start_index=start_index, key=key,
+            cfg_rescale=cfg_rescale,
             ctrl_for=ctrl_for if control_enc else None,
         )
 
@@ -297,7 +304,7 @@ def sample_latents(
             lat2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
             out = unet_apply(unet_params, lat2, t2, context2)
-            o_t = ddim.cfg_combine(out[:b], out[b:], guidance)
+            o_t = combine(out[:b], out[b:])
             return model_out_to_eps(o_t, lat, t, cfg)
 
         return samplers.sample(model_fn, latent, num_steps, method=method,
@@ -317,7 +324,7 @@ def sample_latents(
             lambda: unet_apply(unet_params, lat, tb, uncond_context),
             lambda: o_u_prev,
         )
-        o_t = ddim.cfg_combine(o_u, o_c, guidance)
+        o_t = combine(o_u, o_c)
         return model_out_to_eps(o_t, lat, t, cfg), (n + 1, o_u)
 
     aux0 = (jnp.int32(0), jnp.zeros_like(latent))
@@ -330,7 +337,7 @@ def _sample_deepcache(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
     method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
-    key=None, ctrl_for=None,
+    key=None, cfg_rescale: float = 0.0, ctrl_for=None,
 ):
     """CFG sampling with DeepCache under ANY sampler: full UNet every
     ``interval``-th network call, shallow (first/last ``split`` blocks +
@@ -384,8 +391,10 @@ def _sample_deepcache(
             lambda: full(lat2, t2, cache, ctrl_cache),
             lambda: shallow(lat2, t2, cache, ctrl_cache),
         )
-        e_t = model_out_to_eps(
-            ddim.cfg_combine(eps[:b], eps[b:], guidance), lat, t, cfg)
+        o_t = ddim.cfg_combine(eps[:b], eps[b:], guidance)
+        if cfg_rescale > 0.0:
+            o_t = ddim.cfg_rescale(o_t, eps[b:], cfg_rescale)
+        e_t = model_out_to_eps(o_t, lat, t, cfg)
         return e_t, (n + 1, cache, ctrl_cache)
 
     return samplers.sample(model_fn, latent, num_steps, method=method,
@@ -397,7 +406,7 @@ def _sample_deepcache_cached_cfg(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
     method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
-    key=None, ctrl_for=None,
+    key=None, cfg_rescale: float = 0.0, ctrl_for=None,
 ):
     """DeepCache on the cond branch + cached CFG on the uncond branch
     (cond and uncond run as separate B-batches here, unlike the
@@ -456,8 +465,10 @@ def _sample_deepcache_cached_cfg(
             lambda: uncond_full(lat, tb),
             lambda: e_u_prev,
         )
-        e_t = model_out_to_eps(
-            ddim.cfg_combine(e_u, e_c, guidance), lat, t, cfg)
+        o_t = ddim.cfg_combine(e_u, e_c, guidance)
+        if cfg_rescale > 0.0:
+            o_t = ddim.cfg_rescale(o_t, e_c, cfg_rescale)
+        e_t = model_out_to_eps(o_t, lat, t, cfg)
         return e_t, (n + 1, e_u, cache, ctrl_cache)
 
     aux0 = (jnp.int32(0), jnp.zeros_like(latent), cache0, ctrl0)
@@ -468,7 +479,7 @@ def _sample_deepcache_cached_cfg(
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
                                    "uncond_interval", "deepcache_interval",
-                                   "deepcache_split"))
+                                   "deepcache_split", "cfg_rescale"))
 def generate(
     params,
     input_ids: jax.Array,
@@ -484,6 +495,7 @@ def generate(
     uncond_interval: int = 1,
     deepcache_interval: int = 1,
     deepcache_split: int = 3,
+    cfg_rescale: float = 0.0,
     prompt_weights=None,
     control=None,
 ) -> jax.Array:
@@ -508,7 +520,8 @@ def generate(
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
         schedule=schedule, key=key, uncond_interval=uncond_interval,
         deepcache_interval=deepcache_interval,
-        deepcache_split=deepcache_split, control=control,
+        deepcache_split=deepcache_split, cfg_rescale=cfg_rescale,
+        control=control,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
@@ -530,7 +543,8 @@ def noise_to_rung(z0: jax.Array, noise: jax.Array, sigma) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
                                    "hires_scale", "hires_steps",
-                                   "hires_strength", "uncond_interval"))
+                                   "hires_strength", "uncond_interval",
+                                   "cfg_rescale"))
 def generate_hires(
     params,
     input_ids: jax.Array,
@@ -547,6 +561,7 @@ def generate_hires(
     hires_steps: int = 0,
     hires_strength: float = 0.6,
     uncond_interval: int = 1,
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """Two-pass hires-fix: sample at the config's base resolution, upscale
     the LATENT bilinearly by ``hires_scale``, re-noise it to an
@@ -576,7 +591,7 @@ def generate_hires(
         params["unet"], latent, ctx, uctx,
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
         schedule=schedule, key=k_base if needs_key else None,
-        uncond_interval=uncond_interval,
+        uncond_interval=uncond_interval, cfg_rescale=cfg_rescale,
     )
 
     b, h, w, c = lat.shape
@@ -597,7 +612,7 @@ def generate_hires(
         num_steps=hs, guidance=guidance, cfg=cfg, method=method,
         schedule=schedule, start_index=start,
         key=k_hi if needs_key else None,
-        uncond_interval=uncond_interval,
+        uncond_interval=uncond_interval, cfg_rescale=cfg_rescale,
     )
     img = vae.decode(params["vae"], lat_hi, cfg.vae)
     return vae.to_image(img)
