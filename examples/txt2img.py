@@ -142,9 +142,14 @@ def main():
         ids_g = make_ids(args.prompt, cfg.clip_g.max_length)
         uids_l = make_ids(args.negative_prompt, cfg.clip_l.max_length)
         uids_g = make_ids(args.negative_prompt, cfg.clip_g.max_length)
+        xkey = (jax.random.key(args.seed + 1)
+                if "ancestral" in args.sampler else None)
         gen = lambda: sdxl.generate(
             params, ids_l, ids_g, uids_l, uids_g, latent,
-            jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg)
+            jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg,
+            method=args.sampler, schedule=args.schedule, key=xkey,
+            uncond_interval=args.uncond_interval,
+            cfg_rescale=args.cfg_rescale)
     else:
         from tinyfusers_tpu.tokenizer import prompt_weights as pw
 

@@ -1,5 +1,6 @@
 """SDXL pipeline tests (tiny config; full-size topology checked statically)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -75,3 +76,46 @@ class TestTinyXL:
         assert emb.shape == (2, 48)
         adm = sdxl.make_adm_cond(jnp.ones((2, 32)), sizes, sdxl.TINY_XL)
         assert adm.shape == (2, sdxl.TINY_XL.unet.adm_in_channels)
+
+
+class TestSDXLSamplerSurface:
+    """Round-5 parity with pipeline/sd.py: samplers, karras schedule,
+    cached CFG, guidance rescale on the SDXL pipeline."""
+
+    def _setup(self):
+        cfg = sdxl.TINY_XL
+        params = sdxl.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip_l.max_length), jnp.int32)
+        uids = jnp.ones((1, cfg.clip_l.max_length), jnp.int32)
+        lat = sdxl.initial_latent(jax.random.key(1), 1, cfg)
+        return cfg, params, ids, uids, lat
+
+    @pytest.mark.parametrize("kw", [
+        dict(method="euler"),
+        dict(method="dpmpp_2m", schedule="karras"),
+        dict(method="euler_ancestral"),
+        dict(uncond_interval=2),
+        dict(cfg_rescale=0.7),
+        dict(method="euler", schedule="karras", uncond_interval=2,
+             cfg_rescale=0.7),
+    ])
+    def test_generate_variants(self, kw):
+        cfg, params, ids, uids, lat = self._setup()
+        key = (jax.random.key(2) if "ancestral" in kw.get("method", "")
+               else None)
+        img = sdxl.generate(params, ids, ids, uids, uids, lat,
+                            jnp.float32(7.5), num_steps=3, cfg=cfg,
+                            key=key, **kw)
+        assert img.shape == (1, cfg.height, cfg.width, 3)
+        assert img.dtype == jnp.uint8
+        assert np.asarray(img).std() > 0
+
+    def test_variants_change_output(self):
+        cfg, params, ids, uids, lat = self._setup()
+        base = sdxl.generate(params, ids, ids, uids, uids, lat,
+                             jnp.float32(9.0), num_steps=3, cfg=cfg)
+        for kw in (dict(method="euler", schedule="karras"),
+                   dict(cfg_rescale=0.7), dict(uncond_interval=2)):
+            v = sdxl.generate(params, ids, ids, uids, uids, lat,
+                              jnp.float32(9.0), num_steps=3, cfg=cfg, **kw)
+            assert not np.array_equal(np.asarray(v), np.asarray(base)), kw

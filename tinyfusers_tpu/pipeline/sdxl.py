@@ -110,7 +110,8 @@ def default_sizes(batch: int, cfg: SDXLConfig) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("num_steps", "cfg"))
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
+                                   "uncond_interval", "cfg_rescale"))
 def generate(
     params,
     ids_l: jax.Array,
@@ -122,34 +123,72 @@ def generate(
     *,
     num_steps: int = 20,
     cfg: SDXLConfig = SDXL_BASE,
+    method: str = "ddim",
+    schedule: str = "ladder",
+    key=None,
+    uncond_interval: int = 1,
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
-    """Dual-encoder CFG DDIM generation -> uint8 image (B, H, W, 3)."""
+    """Dual-encoder CFG generation -> uint8 image (B, H, W, 3).
+
+    Same sampler surface as pipeline/sd.py: method selects any of
+    pipeline.samplers.SAMPLERS, schedule the sigma spacing
+    ("ladder"/"karras"), uncond_interval>1 enables cached CFG (the
+    uncond branch recomputes every k-th network call and is reused
+    between — rides the sampler aux state), cfg_rescale>0 applies
+    guidance rescale (ddim.cfg_rescale). SDXL-base is an epsilon model,
+    so the combined output IS the eps prediction."""
+    from . import samplers
+
     b = latent.shape[0]
     ctx_c, pooled_c = encode_text(params, ids_l, ids_g, cfg)
     ctx_u, pooled_u = encode_text(params, uids_l, uids_g, cfg)
     sizes = default_sizes(b, cfg)
-    adm = jnp.concatenate(
-        [make_adm_cond(pooled_u, sizes, cfg), make_adm_cond(pooled_c, sizes, cfg)],
-        axis=0,
-    )
-    context2 = jnp.concatenate([ctx_u, ctx_c], axis=0).astype(latent.dtype)
-    adm = adm.astype(latent.dtype)
+    adm_u = make_adm_cond(pooled_u, sizes, cfg).astype(latent.dtype)
+    adm_c = make_adm_cond(pooled_c, sizes, cfg).astype(latent.dtype)
+    ctx_u = ctx_u.astype(latent.dtype)
+    ctx_c = ctx_c.astype(latent.dtype)
 
     guidance = jnp.asarray(guidance, jnp.float32)
-    timesteps = ddim.ddim_timesteps(num_steps)
-    alphas, alphas_prev = ddim.ddim_alphas(num_steps)
-    xs = (timesteps[::-1], alphas[::-1], alphas_prev[::-1])
 
-    def body(lat, x):
-        t, a_t, a_prev = x
-        lat2 = jnp.concatenate([lat, lat], axis=0)
-        t2 = jnp.broadcast_to(t.astype(jnp.float32), (2 * b,))
-        eps = unet.apply(params["unet"], lat2, t2, context2, cfg.unet,
-                         adm_cond=adm)
-        e_t = ddim.cfg_combine(eps[:b], eps[b:], guidance)
-        return ddim.ddim_step(lat, e_t, a_t, a_prev), None
+    def combine(e_u, e_c):
+        o = ddim.cfg_combine(e_u, e_c, guidance)
+        return (ddim.cfg_rescale(o, e_c, cfg_rescale)
+                if cfg_rescale > 0.0 else o)
 
-    latent, _ = jax.lax.scan(body, latent, xs)
+    if uncond_interval <= 1:
+        context2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+        adm2 = jnp.concatenate([adm_u, adm_c], axis=0)
+
+        def model_fn(lat, t):
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.broadcast_to(t, (2 * b,))
+            eps = unet.apply(params["unet"], lat2, t2, context2, cfg.unet,
+                             adm_cond=adm2)
+            return combine(eps[:b], eps[b:])
+
+        latent = samplers.sample(model_fn, latent, num_steps, method=method,
+                                 schedule=schedule, key=key)
+    else:
+        # cached CFG: cond every call at batch B, uncond refreshed every
+        # uncond_interval-th network call (see pipeline/sd.sample_latents)
+        def model_fn(lat, t, aux):
+            n, e_u_prev = aux
+            tb = jnp.broadcast_to(t, (b,))
+            e_c = unet.apply(params["unet"], lat, tb, ctx_c, cfg.unet,
+                             adm_cond=adm_c)
+            e_u = jax.lax.cond(
+                n % uncond_interval == 0,
+                lambda: unet.apply(params["unet"], lat, tb, ctx_u, cfg.unet,
+                                   adm_cond=adm_u),
+                lambda: e_u_prev,
+            )
+            return combine(e_u, e_c), (n + 1, e_u)
+
+        latent = samplers.sample(
+            model_fn, latent, num_steps, method=method, schedule=schedule,
+            key=key, aux_init=(jnp.int32(0), jnp.zeros_like(latent)))
+
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
 
