@@ -38,6 +38,8 @@ def tree_random(shapes, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=28)
+    p.add_argument("--flow-method", choices=["euler", "heun"],
+                   default="euler")
     p.add_argument("--quant", choices=["none", "int8", "int4"],
                    default="none")
     args = p.parse_args()
@@ -66,7 +68,8 @@ def main():
     t0 = time.monotonic()
     for _ in range(2):
         img = sd3.generate(params, ids_l, ids_g, ids_l, ids_g, lat, g,
-                           num_steps=args.steps, cfg=cfg)
+                           num_steps=args.steps, cfg=cfg,
+                           method=args.flow_method)
         np.asarray(img)
     print(f"warmup {time.monotonic()-t0:.0f}s", flush=True)
 
@@ -74,7 +77,8 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         img = sd3.generate(params, ids_l, ids_g, ids_l, ids_g, lat, g,
-                           num_steps=args.steps, cfg=cfg)
+                           num_steps=args.steps, cfg=cfg,
+                           method=args.flow_method)
         np.asarray(img)
         best = min(best, time.perf_counter() - t0)
     print(f"SD3-medium 1024x1024 {args.steps}-step flow-CFG b=1 "

@@ -118,3 +118,60 @@ class TestSD3Pipeline:
         # the T5 span must be zeros
         assert float(jnp.abs(ctx[..., joint:]).max()) == 0.0
         assert pooled.shape == (2, cfg.clip_l.projection_dim + cfg.clip_g.projection_dim)
+
+
+class TestHeunFlow:
+    def test_perfect_velocity_recovers_x0(self):
+        x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+        out = rf.sample(lambda x, t: noise - x0, noise, 8, method="heun")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_heun_beats_euler_on_curved_field(self):
+        """On a t-dependent velocity field the 2nd-order method must
+        integrate more accurately than Euler at the same step count.
+        Field: dx/dt = 2t * c (exact: x(0) = x(1) - c). Shift=1 keeps
+        the ladder uniform so local truncation orders are comparable."""
+        c = jax.random.normal(jax.random.key(0), (1, 4, 4, 2))
+        x1 = jax.random.normal(jax.random.key(1), (1, 4, 4, 2))
+        exact = x1 - c
+
+        def vf(x, t):
+            return 2.0 * t[0] * c
+
+        e = rf.sample(vf, x1, 6, shift=1.0, method="euler")
+        h = rf.sample(vf, x1, 6, shift=1.0, method="heun")
+        err_e = float(jnp.abs(e - exact).max())
+        err_h = float(jnp.abs(h - exact).max())
+        assert err_h < err_e / 5, (err_e, err_h)
+
+    def test_unknown_method_rejected(self):
+        import pytest
+        with pytest.raises(ValueError):
+            rf.sample(lambda x, t: x, jnp.zeros((1, 4, 4, 2)), 4,
+                      method="rk4")
+
+    def test_sd3_generate_heun(self):
+        from tinyfusers_tpu.pipeline import sd3
+
+        cfg = sd3.TINY_SD3
+        params = sd3.init(jax.random.key(0), cfg)
+        # adaLN-zero init makes the MMDiT velocity identically zero — a
+        # constant field on which euler and heun coincide exactly. Kick
+        # every leaf so the field is t-dependent and the orders separate.
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.key(7), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+        idl = jnp.zeros((1, cfg.clip_l.max_length), jnp.int32)
+        idg = jnp.zeros((1, cfg.clip_g.max_length), jnp.int32)
+        lat = sd3.initial_latent(jax.random.key(1), 1, cfg)
+        img_h = sd3.generate(params, idl, idg, idl, idg, lat,
+                             jnp.float32(5.0), num_steps=3, cfg=cfg,
+                             method="heun")
+        img_e = sd3.generate(params, idl, idg, idl, idg, lat,
+                             jnp.float32(5.0), num_steps=3, cfg=cfg)
+        assert img_h.shape == img_e.shape and img_h.dtype == jnp.uint8
+        assert not np.array_equal(np.asarray(img_h), np.asarray(img_e))

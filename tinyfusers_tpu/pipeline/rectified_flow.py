@@ -25,9 +25,19 @@ def sample(
     num_steps: int,
     *,
     shift: float = 3.0,
+    method: str = "euler",
 ) -> jax.Array:
-    """Euler integration of the velocity field; model_fn(x, t) -> v with
-    t scalar in [0, 1]. Returns x0."""
+    """Integrate the velocity field; model_fn(x, t) -> v with t scalar
+    in [0, 1]. Returns x0.
+
+    method="euler": 1 NFE/step (SD3's reference sampler).
+    method="heun": trapezoidal predictor-corrector, 2 NFE/step — the
+    2nd-order option the flow-matching ecosystem pairs with few-step
+    budgets; the terminal step keeps the Euler prediction (the
+    correction at t=0 is discarded via the same lax-friendly `where`
+    pattern as samplers.py heun)."""
+    if method not in ("euler", "heun"):
+        raise ValueError(f"unknown flow sampler {method!r}")
     ts = timesteps(num_steps, shift)
 
     def body(x, i):
@@ -36,8 +46,16 @@ def sample(
         # fp32 update, cast back: (t_next - t) is a strong-typed fp32
         # scalar, so a bare `x + dt*v` would promote a bf16 carry to
         # fp32 and break the scan's carry-type invariant.
-        x_new = x.astype(jnp.float32) + (t_next - t) * v.astype(jnp.float32)
-        return x_new.astype(x.dtype), None
+        dt = t_next - t
+        x32 = x.astype(jnp.float32)
+        x_pred = x32 + dt * v.astype(jnp.float32)
+        if method == "heun":
+            v2 = model_fn(x_pred.astype(x.dtype),
+                          jnp.broadcast_to(t_next, (x.shape[0],)))
+            x_heun = x32 + 0.5 * dt * (v.astype(jnp.float32)
+                                       + v2.astype(jnp.float32))
+            x_pred = jnp.where(t_next > 0.0, x_heun, x_pred)
+        return x_pred.astype(x.dtype), None
 
     x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
     return x

@@ -119,7 +119,7 @@ def encode_text(params, ids_l: jax.Array, ids_g: jax.Array, cfg: SD3Config,
     return context, pooled
 
 
-@partial(jax.jit, static_argnames=("num_steps", "cfg"))
+@partial(jax.jit, static_argnames=("num_steps", "cfg", "method"))
 def generate(
     params,
     ids_l: jax.Array,
@@ -131,10 +131,13 @@ def generate(
     *,
     num_steps: int = 28,
     cfg: SD3Config = SD3_MEDIUM_CFG,
+    method: str = "euler",
     ids_t5: Optional[jax.Array] = None,
     uids_t5: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Rectified-flow CFG generation -> uint8 image (B, H, W, 3)."""
+    """Rectified-flow CFG generation -> uint8 image (B, H, W, 3).
+    method: "euler" (1 NFE/step, SD3 reference) or "heun" (2nd-order,
+    2 NFE/step) — rectified_flow.sample."""
     b = latent.shape[0]
     ctx_c, pool_c = encode_text(params, ids_l, ids_g, cfg, ids_t5)
     ctx_u, pool_u = encode_text(params, uids_l, uids_g, cfg, uids_t5)
@@ -149,7 +152,8 @@ def generate(
         v_u, v_c = v[:b], v[b:]
         return v_u + guidance * (v_c - v_u)
 
-    lat = rf.sample(model_fn, latent, num_steps, shift=cfg.shift)
+    lat = rf.sample(model_fn, latent, num_steps, shift=cfg.shift,
+                    method=method)
     img = vae.decode(params["vae"], lat, cfg.vae)
     return vae.to_image(img)
 
