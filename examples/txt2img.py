@@ -70,6 +70,10 @@ def main():
                    metavar="WORD=PATH",
                    help="textual-inversion embedding: placeholder word = "
                         "embedding file (.pt/.safetensors); repeatable")
+    p.add_argument("--freeu", default=None, metavar="B1,B2,S1,S2",
+                   help="FreeU backbone/skip reweighting (Si et al. 2023), "
+                        "e.g. 1.5,1.6,0.9,0.2 for SD1.5 / 1.3,1.4,0.9,0.2 "
+                        "for SDXL")
     p.add_argument("--cfg-rescale", type=float, default=0.0,
                    help="guidance rescale phi (Lin et al. 2023) — counters "
                         "high-guidance overexposure; ~0.7 for v-pred models")
@@ -136,6 +140,11 @@ def main():
         return jnp.array([tok.encode(text, length, pad_token=pad)] * args.batch,
                          jnp.int32)
 
+    freeu = (tuple(float(v) for v in args.freeu.split(","))
+             if args.freeu else None)
+    if freeu is not None and len(freeu) != 4:
+        p.error("--freeu needs exactly 4 comma-separated floats")
+
     latent = pipe.initial_latent(jax.random.key(args.seed), args.batch, cfg, dtype)
     if is_xl:
         ids_l = make_ids(args.prompt, cfg.clip_l.max_length)
@@ -149,7 +158,7 @@ def main():
             jnp.float32(args.guidance), num_steps=args.steps, cfg=cfg,
             method=args.sampler, schedule=args.schedule, key=xkey,
             uncond_interval=args.uncond_interval,
-            cfg_rescale=args.cfg_rescale)
+            cfg_rescale=args.cfg_rescale, freeu=freeu)
     else:
         from tinyfusers_tpu.tokenizer import prompt_weights as pw
 
@@ -204,7 +213,7 @@ def main():
                 hires_scale=args.hires_scale,
                 hires_strength=args.hires_strength,
                 uncond_interval=args.uncond_interval,
-                cfg_rescale=args.cfg_rescale)
+                cfg_rescale=args.cfg_rescale, freeu=freeu)
         else:
             gen = lambda: sd.generate(params, ids, uids, latent,
                                       jnp.float32(args.guidance),
@@ -215,6 +224,7 @@ def main():
                                       deepcache_interval=args.deepcache_interval,
                                       deepcache_split=args.deepcache_split,
                                       cfg_rescale=args.cfg_rescale,
+                                      freeu=freeu,
                                       prompt_weights=weights, control=control)
 
     import numpy as _np

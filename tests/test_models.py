@@ -242,3 +242,56 @@ class TestInpaint:
         np.testing.assert_array_equal(got[:, :8, :8], src[:, :8, :8])
         # the repainted hole should differ from the source
         assert not np.array_equal(got[:, 8:24, 8:24], src[:, 8:24, 8:24])
+
+
+class TestFreeU:
+    """FreeU (Si et al. 2023) decoder reweighting — models/unet._apply_freeu."""
+
+    def test_fourier_filter_scale1_identity(self):
+        from tinyfusers_tpu.models.unet import _fourier_filter
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        y = _fourier_filter(x, threshold=1, scale=1.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fourier_filter_kills_dc(self):
+        from tinyfusers_tpu.models.unet import _fourier_filter
+        x = jnp.ones((1, 8, 8, 2)) * 3.0  # pure DC
+        y = _fourier_filter(x, threshold=1, scale=0.0)
+        assert float(jnp.abs(y).max()) < 1e-5
+
+    def test_unet_freeu_changes_output(self):
+        from tinyfusers_tpu.models import unet
+        cfg = unet.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                              attention_levels=(0, 1), context_dim=32,
+                              num_heads=4, num_groups=8)
+        params = unet.init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+        t = jnp.ones((1,), jnp.float32) * 500
+        ctx = jax.random.normal(jax.random.key(2), (1, 6, 32))
+        base = unet.apply(params, x, t, ctx, cfg)
+        fre = unet.apply(params, x, t, ctx, cfg,
+                         freeu=(1.5, 1.6, 0.9, 0.2))
+        assert fre.shape == base.shape
+        assert not np.allclose(np.asarray(fre), np.asarray(base))
+        # neutral parameters must be a no-op
+        neut = unet.apply(params, x, t, ctx, cfg,
+                          freeu=(1.0, 1.0, 1.0, 1.0))
+        np.testing.assert_allclose(np.asarray(neut), np.asarray(base),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_generate_freeu_composes(self):
+        from tinyfusers_tpu.pipeline import sd
+        cfg = sd.TINY
+        params = sd.init(jax.random.key(0), cfg)
+        ids = jnp.zeros((1, cfg.clip.max_length), jnp.int32)
+        uids = jnp.ones((1, cfg.clip.max_length), jnp.int32)
+        lat = sd.initial_latent(jax.random.key(1), 1, cfg)
+        for extra in ({}, {"deepcache_interval": 2}):
+            a = sd.generate(params, ids, uids, lat, jnp.float32(7.5),
+                            num_steps=3, cfg=cfg,
+                            freeu=(1.5, 1.6, 0.9, 0.2), **extra)
+            b = sd.generate(params, ids, uids, lat, jnp.float32(7.5),
+                            num_steps=3, cfg=cfg, **extra)
+            assert a.dtype == jnp.uint8
+            assert not np.array_equal(np.asarray(a), np.asarray(b)), extra

@@ -365,6 +365,42 @@ def _run_block(params_list, block, x, emb, context, cfg: UNetConfig):
     return x
 
 
+def _fourier_filter(x: jax.Array, threshold: int, scale: float) -> jax.Array:
+    """Scale the low-frequency (centered) 2D-FFT box of an NHWC feature
+    map by ``scale`` (FreeU's skip-feature filter). fp32 FFT via XLA,
+    cast back to x.dtype."""
+    x32 = x.astype(jnp.complex64)
+    f = jnp.fft.fftshift(jnp.fft.fft2(x32, axes=(1, 2)), axes=(1, 2))
+    b, h, w, c = x.shape
+    hc, wc = h // 2, w // 2
+    rows = jnp.abs(jnp.arange(h) - hc) < threshold
+    cols = jnp.abs(jnp.arange(w) - wc) < threshold
+    low = rows[:, None] & cols[None, :]
+    mask = jnp.where(low, scale, 1.0)[None, :, :, None]
+    f = f * mask
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(f, axes=(1, 2)), axes=(1, 2))
+    return jnp.real(out).astype(x.dtype)
+
+
+def _apply_freeu(x: jax.Array, skip: jax.Array, level: int, freeu):
+    """FreeU (Si et al. 2023): amplify the first half of the BACKBONE
+    channels and damp the skip's low spatial frequencies, on the two
+    deepest decoder levels (level 0 -> b1/s1, level 1 -> b2/s2) —
+    diffusers' apply_freeu wiring. Inference-only reweighting; no
+    parameters."""
+    b1, b2, s1, s2 = freeu
+    if level == 0:
+        b, s = b1, s1
+    elif level == 1:
+        b, s = b2, s2
+    else:
+        return x, skip
+    half = x.shape[-1] // 2
+    x = jnp.concatenate(
+        [x[..., :half] * jnp.asarray(b, x.dtype), x[..., half:]], axis=-1)
+    return x, _fourier_filter(skip, threshold=1, scale=s)
+
+
 def apply(
     params,
     x: jax.Array,
@@ -376,6 +412,7 @@ def apply(
     deepcache: Optional[Tuple[str, int]] = None,
     cache: Optional[jax.Array] = None,
     control=None,
+    freeu: Optional[Tuple[float, float, float, float]] = None,
 ) -> jax.Array:
     """x (B, H, W, C_in) NHWC latents, timesteps (B,) float, context
     (B, S, context_dim) -> noise prediction (B, H, W, C_out).
@@ -440,8 +477,12 @@ def apply(
             skips = [s + c.astype(s.dtype)
                      for s, c in zip(skips, ctrl_skips)]
         x = cache
-        for p, block in zip(params["output"][-m:], outp[-m:]):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+        for i, (p, block) in enumerate(zip(params["output"][-m:], outp[-m:])):
+            s = skips.pop()
+            if freeu is not None:
+                level = (len(outp) - m + i) // (cfg.num_res_blocks + 1)
+                x, s = _apply_freeu(x, s, level, freeu)
+            x = jnp.concatenate([x, s], axis=-1)
             x = _run_block(p, block, x, emb, context, cfg)
         cache_out = cache
     else:
@@ -463,7 +504,11 @@ def apply(
         for j, (p, block) in enumerate(zip(params["output"], outp)):
             if mode == "full" and j == len(outp) - m:
                 cache_out = x
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            s = skips.pop()
+            if freeu is not None:
+                x, s = _apply_freeu(x, s, j // (cfg.num_res_blocks + 1),
+                                    freeu)
+            x = jnp.concatenate([x, s], axis=-1)
             x = _run_block(p, block, x, emb, context, cfg)
     x = ops.group_norm(x, cfg.num_groups, params["out_norm"]["weight"], params["out_norm"]["bias"])
     x = ops.conv2d(ops.silu(x), params["out_conv"]["weight"], params["out_conv"]["bias"], padding=1)

@@ -186,6 +186,7 @@ def sample_latents(
     deepcache_split: int = 3,
     cfg_rescale: float = 0.0,
     control=None,
+    freeu=None,
 ) -> jax.Array:
     """Full sampling as one lax.scan (jit-friendly; num_steps static).
 
@@ -257,8 +258,8 @@ def sample_latents(
 
     def unet_apply(p_, lat_, t_, ctx_):
         if control is None:
-            return unet.apply(p_, lat_, t_, ctx_, cfg.unet)
-        return unet.apply(p_, lat_, t_, ctx_, cfg.unet,
+            return unet.apply(p_, lat_, t_, ctx_, cfg.unet, freeu=freeu)
+        return unet.apply(p_, lat_, t_, ctx_, cfg.unet, freeu=freeu,
                           control=ctrl_for(lat_, t_, ctx_))
 
     if deepcache_interval > 1:
@@ -273,6 +274,7 @@ def sample_latents(
                 dk=deepcache_interval, split=deepcache_split,
                 uk=uncond_interval, method=method, schedule=schedule,
                 start_index=start_index, key=key, cfg_rescale=cfg_rescale,
+                freeu=freeu,
                 ctrl_for=ctrl_for if control_enc else None,
             )
         return _sample_deepcache(
@@ -280,7 +282,7 @@ def sample_latents(
             num_steps=num_steps, guidance=guidance, cfg=cfg,
             interval=deepcache_interval, split=deepcache_split,
             method=method, schedule=schedule, start_index=start_index, key=key,
-            cfg_rescale=cfg_rescale,
+            cfg_rescale=cfg_rescale, freeu=freeu,
             ctrl_for=ctrl_for if control_enc else None,
         )
 
@@ -337,7 +339,7 @@ def _sample_deepcache(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, interval: int, split: int,
     method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
-    key=None, cfg_rescale: float = 0.0, ctrl_for=None,
+    key=None, cfg_rescale: float = 0.0, ctrl_for=None, freeu=None,
 ):
     """CFG sampling with DeepCache under ANY sampler: full UNet every
     ``interval``-th network call, shallow (first/last ``split`` blocks +
@@ -358,18 +360,18 @@ def _sample_deepcache(
         if ctrl_for is None:
             eps, cache_new = unet.apply(
                 unet_params, lat2, t2, context2, cfg.unet,
-                deepcache=("full", split))
+                deepcache=("full", split), freeu=freeu)
             return eps, cache_new, ctrl_cache
         ctrl = ctrl_for(lat2, t2, context2)
         eps, cache_new = unet.apply(
             unet_params, lat2, t2, context2, cfg.unet,
-            deepcache=("full", split), control=ctrl)
+            deepcache=("full", split), control=ctrl, freeu=freeu)
         return eps, cache_new, tuple(ctrl[0][:split])
 
     def shallow(lat2, t2, cache, ctrl_cache):
         eps, cache = unet.apply(
             unet_params, lat2, t2, context2, cfg.unet,
-            deepcache=("shallow", split), cache=cache,
+            deepcache=("shallow", split), cache=cache, freeu=freeu,
             control=ctrl_cache if ctrl_for is not None else None)
         return eps, cache, ctrl_cache
 
@@ -406,7 +408,7 @@ def _sample_deepcache_cached_cfg(
     unet_params, latent, context, uncond_context, *,
     num_steps: int, guidance, cfg: SDConfig, dk: int, split: int, uk: int,
     method: str = "ddim", schedule: str = "ladder", start_index: int = 0,
-    key=None, cfg_rescale: float = 0.0, ctrl_for=None,
+    key=None, cfg_rescale: float = 0.0, ctrl_for=None, freeu=None,
 ):
     """DeepCache on the cond branch + cached CFG on the uncond branch
     (cond and uncond run as separate B-batches here, unlike the
@@ -425,17 +427,19 @@ def _sample_deepcache_cached_cfg(
     def cond_full(lat, tb, cache, ctrl_cache):
         if ctrl_for is None:
             eps, cache_new = unet.apply(unet_params, lat, tb, context,
-                                        cfg.unet, deepcache=("full", split))
+                                        cfg.unet, deepcache=("full", split),
+                                        freeu=freeu)
             return eps, cache_new, ctrl_cache
         ctrl = ctrl_for(lat, tb, context)
         eps, cache_new = unet.apply(unet_params, lat, tb, context, cfg.unet,
-                                    deepcache=("full", split), control=ctrl)
+                                    deepcache=("full", split), control=ctrl,
+                                    freeu=freeu)
         return eps, cache_new, tuple(ctrl[0][:split])
 
     def cond_shallow(lat, tb, cache, ctrl_cache):
         eps, cache = unet.apply(
             unet_params, lat, tb, context, cfg.unet,
-            deepcache=("shallow", split), cache=cache,
+            deepcache=("shallow", split), cache=cache, freeu=freeu,
             control=ctrl_cache if ctrl_for is not None else None)
         return eps, cache, ctrl_cache
 
@@ -443,7 +447,7 @@ def _sample_deepcache_cached_cfg(
         ctrl = (ctrl_for(lat, tb, uncond_context)
                 if ctrl_for is not None else None)
         return unet.apply(unet_params, lat, tb, uncond_context, cfg.unet,
-                          control=ctrl)
+                          control=ctrl, freeu=freeu)
 
     lat_s = jax.eval_shape(lambda l: l, latent)
     t_s = jax.ShapeDtypeStruct((b,), jnp.float32)
@@ -479,7 +483,8 @@ def _sample_deepcache_cached_cfg(
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
                                    "uncond_interval", "deepcache_interval",
-                                   "deepcache_split", "cfg_rescale"))
+                                   "deepcache_split", "cfg_rescale",
+                                   "freeu"))
 def generate(
     params,
     input_ids: jax.Array,
@@ -496,6 +501,7 @@ def generate(
     deepcache_interval: int = 1,
     deepcache_split: int = 3,
     cfg_rescale: float = 0.0,
+    freeu=None,
     prompt_weights=None,
     control=None,
 ) -> jax.Array:
@@ -521,7 +527,7 @@ def generate(
         schedule=schedule, key=key, uncond_interval=uncond_interval,
         deepcache_interval=deepcache_interval,
         deepcache_split=deepcache_split, cfg_rescale=cfg_rescale,
-        control=control,
+        freeu=freeu, control=control,
     )
     img = vae.decode(params["vae"], latent, cfg.vae)
     return vae.to_image(img)
@@ -544,7 +550,7 @@ def noise_to_rung(z0: jax.Array, noise: jax.Array, sigma) -> jax.Array:
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
                                    "hires_scale", "hires_steps",
                                    "hires_strength", "uncond_interval",
-                                   "cfg_rescale"))
+                                   "cfg_rescale", "freeu"))
 def generate_hires(
     params,
     input_ids: jax.Array,
@@ -562,6 +568,7 @@ def generate_hires(
     hires_strength: float = 0.6,
     uncond_interval: int = 1,
     cfg_rescale: float = 0.0,
+    freeu=None,
 ) -> jax.Array:
     """Two-pass hires-fix: sample at the config's base resolution, upscale
     the LATENT bilinearly by ``hires_scale``, re-noise it to an
@@ -592,6 +599,7 @@ def generate_hires(
         num_steps=num_steps, guidance=guidance, cfg=cfg, method=method,
         schedule=schedule, key=k_base if needs_key else None,
         uncond_interval=uncond_interval, cfg_rescale=cfg_rescale,
+        freeu=freeu,
     )
 
     b, h, w, c = lat.shape
@@ -613,6 +621,7 @@ def generate_hires(
         schedule=schedule, start_index=start,
         key=k_hi if needs_key else None,
         uncond_interval=uncond_interval, cfg_rescale=cfg_rescale,
+        freeu=freeu,
     )
     img = vae.decode(params["vae"], lat_hi, cfg.vae)
     return vae.to_image(img)

@@ -111,7 +111,8 @@ def default_sizes(batch: int, cfg: SDXLConfig) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("num_steps", "cfg", "method", "schedule",
-                                   "uncond_interval", "cfg_rescale"))
+                                   "uncond_interval", "cfg_rescale",
+                                   "freeu"))
 def generate(
     params,
     ids_l: jax.Array,
@@ -128,6 +129,7 @@ def generate(
     key=None,
     uncond_interval: int = 1,
     cfg_rescale: float = 0.0,
+    freeu=None,
 ) -> jax.Array:
     """Dual-encoder CFG generation -> uint8 image (B, H, W, 3).
 
@@ -164,7 +166,7 @@ def generate(
             lat2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.broadcast_to(t, (2 * b,))
             eps = unet.apply(params["unet"], lat2, t2, context2, cfg.unet,
-                             adm_cond=adm2)
+                             adm_cond=adm2, freeu=freeu)
             return combine(eps[:b], eps[b:])
 
         latent = samplers.sample(model_fn, latent, num_steps, method=method,
@@ -176,11 +178,11 @@ def generate(
             n, e_u_prev = aux
             tb = jnp.broadcast_to(t, (b,))
             e_c = unet.apply(params["unet"], lat, tb, ctx_c, cfg.unet,
-                             adm_cond=adm_c)
+                             adm_cond=adm_c, freeu=freeu)
             e_u = jax.lax.cond(
                 n % uncond_interval == 0,
                 lambda: unet.apply(params["unet"], lat, tb, ctx_u, cfg.unet,
-                                   adm_cond=adm_u),
+                                   adm_cond=adm_u, freeu=freeu),
                 lambda: e_u_prev,
             )
             return combine(e_u, e_c), (n + 1, e_u)
