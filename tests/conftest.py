@@ -19,3 +19,22 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; jax.config.update is the reliable way to pin tests to CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The suite compiles hundreds of distinct jitted pipeline programs in
+    one process; letting them all stay live has produced XLA:CPU
+    compile-time SEGFAULTS (exit 139 inside backend_compile_and_load)
+    at ~45% of the run — at different tests on different runs, i.e. a
+    cumulative-resource cliff, not a bad program. Modules don't share
+    compilations (each builds its own configs), so dropping the caches
+    at module boundaries costs nothing and bounds per-process
+    accumulation."""
+    yield
+    jax.clear_caches()
